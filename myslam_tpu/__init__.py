@@ -1,0 +1,24 @@
+"""myslam_tpu — TPU-native semantic visual SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of the
+reference ORB-SLAM2 + darknet/YOLOv2 fork (WChen09/My-SLAM): ORB feature
+extraction, descriptor matching, bag-of-words place recognition, EPnP/Sim3
+RANSAC solvers, Gauss-Newton/LM bundle adjustment with Schur complement,
+keyframe-based mapping, loop closing, and a YOLOv2 detector — all as
+fixed-shape batched array programs instead of pointer graphs + threads.
+
+Layout (mirrors SURVEY.md §7):
+  geom/      SE3/Sim3 Lie groups, projection, triangulation, epipolar geometry
+  ops/       low-level compute kernels (pyramid, FAST, ORB, Hamming, top-k)
+  features/  ORB extractor pipeline + FrameFeatures SoA container
+  matching/  projection/BoW matchers, rotation-consistency, vocabulary
+  solvers/   batched RANSAC engines: H/F init, EPnP, Horn Sim3
+  optim/     LM core, pose optimization, Schur BA, Sim3 pose graph
+  mapping/   fixed-capacity array map store, covisibility, keyframe database
+  slam/      tracking state machine, local mapping, loop closing, System facade
+  models/    YOLOv2 detector (Flax) + darknet weight import
+  parallel/  device mesh, sharded BA and sharded place recognition
+  io/        dataset loaders (TUM/KITTI/EuRoC), trajectory writers, ATE eval
+"""
+
+__version__ = "0.1.0"
