@@ -56,12 +56,19 @@ def _sinc_coeffs(theta_sq):
     """Taylor-safe (A, B, C) coefficients for Rodrigues / V-matrix.
 
     A = sin(t)/t,  B = (1-cos(t))/t^2,  C = (1 - A)/t^2.
+
+    Uses the double-where pattern (guard the denominator BEFORE dividing) so
+    reverse-mode autodiff stays NaN-free at theta = 0 — the untaken branch is
+    still differentiated and 0-cotangent * inf-derivative would poison grads.
     """
-    theta = jnp.sqrt(theta_sq + _EPS)
     small = theta_sq < 1e-8
+    theta_sq_safe = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(theta_sq_safe)
     A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq)
-    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (1.0 - A) / theta_sq)
+    B = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta_sq_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+                  (1.0 - A) / theta_sq_safe)
     return A, B, C
 
 
@@ -78,29 +85,25 @@ def exp_so3(w):
 def log_so3(R):
     """Rotation matrix [..., 3, 3] -> so(3) vector [..., 3].
 
-    Uses the trace formula with a Taylor-safe small-angle branch; angles are
-    assumed < pi - eps (true for incremental SLAM poses).
+    Quaternion-based (valid for all angles in [0, pi]) and autodiff-safe at
+    the identity via the double-where pattern: pose-graph optimization
+    differentiates through log on edges whose residual is exactly zero
+    (e.g. spanning-tree edges measured from current estimates,
+    reference src/Optimizer.cc:867-902), so the gradient must be finite there.
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # vee of the antisymmetric part
-    v = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    scale = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,
-        theta / (2.0 * jnp.where(small, 1.0, sin_theta)),
-    )
-    return scale[..., None] * v
+    q = to_quaternion(R)
+    # Enforce qw >= 0 so theta in [0, pi].
+    q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
+    qv, qw = q[..., :3], q[..., 3]
+    n_sq = jnp.sum(qv * qv, axis=-1)
+    small = n_sq < 1e-10
+    n_sq_safe = jnp.where(small, 1.0, n_sq)  # keeps untaken branch NaN-free
+    n = jnp.sqrt(n_sq_safe)
+    # w = f * qv with f = 2*atan2(n, qw)/n ; series: 2/qw * (1 - n^2/(3 qw^2))
+    f_large = 2.0 * jnp.arctan2(n, qw) / n
+    f_small = 2.0 / qw * (1.0 - n_sq / (3.0 * qw * qw))
+    f = jnp.where(small, f_small, f_large)
+    return f[..., None] * qv
 
 
 def _left_jacobian(w):

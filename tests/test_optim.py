@@ -1,0 +1,294 @@
+"""Tests for the optimization layer: pose-opt, Schur BA, Sim3, pose graph.
+
+Synthetic ground-truth problems with known solutions, following the test
+strategy in SURVEY.md §4 (the reference has no test suite; validation is
+convergence to known geometry)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from myslam_tpu.geom import se3, sim3
+from myslam_tpu.geom.projection import Camera
+from myslam_tpu.optim import pose_opt, ba, sim3_opt, pose_graph
+
+
+def make_camera():
+    return Camera.create(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+                         width=640, height=480)
+
+
+def synth_scene(rng, n_pts=200, depth=(3.0, 8.0)):
+    pts = np.stack([
+        rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts),
+        rng.uniform(*depth, n_pts)], axis=-1).astype(np.float32)
+    return jnp.asarray(pts)
+
+
+class TestPoseOpt:
+    def test_converges_from_perturbed_pose(self):
+        cam = make_camera()
+        rng = np.random.default_rng(0)
+        pts = synth_scene(rng)
+        T_true = se3.exp(jnp.asarray([0.05, -0.03, 0.02, 0.1, -0.2, 0.05],
+                                     dtype=jnp.float32))
+        uv, _ = jax.vmap(lambda x: (None, None))(pts)[0] if False else (None, None)
+        from myslam_tpu.geom import projection
+        uv, _ = projection.project_world(cam, T_true, pts)
+        noise = jnp.asarray(rng.normal(size=uv.shape) * 0.5, dtype=jnp.float32)
+        uv_noisy = uv + noise
+        T0 = se3.compose(
+            se3.exp(jnp.asarray([0.02, 0.01, -0.015, 0.05, 0.05, -0.05],
+                                dtype=jnp.float32)), T_true)
+        inv_s2 = jnp.ones(pts.shape[0], dtype=jnp.float32)
+        valid = jnp.ones(pts.shape[0], dtype=bool)
+        T, inlier, n = pose_opt.optimize_pose(cam, T0, pts, uv_noisy,
+                                              inv_s2, valid)
+        err = np.asarray(se3.log(se3.compose(T, se3.inverse(T_true))))
+        assert np.abs(err).max() < 5e-3
+        assert int(n) > 150
+
+    def test_rejects_outliers(self):
+        cam = make_camera()
+        rng = np.random.default_rng(1)
+        pts = synth_scene(rng)
+        T_true = se3.identity()
+        from myslam_tpu.geom import projection
+        uv, _ = projection.project_world(cam, T_true, pts)
+        uv = np.array(uv)
+        n_out = 40
+        uv[:n_out] += rng.uniform(30, 80, size=(n_out, 2))  # gross outliers
+        T0 = se3.exp(jnp.asarray([0.01, 0.0, 0.0, 0.03, 0.0, 0.0],
+                                 dtype=jnp.float32))
+        inv_s2 = jnp.ones(pts.shape[0], dtype=jnp.float32)
+        valid = jnp.ones(pts.shape[0], dtype=bool)
+        T, inlier, n = pose_opt.optimize_pose(
+            cam, T0, pts, jnp.asarray(uv, dtype=jnp.float32), inv_s2, valid)
+        inlier = np.asarray(inlier)
+        assert inlier[:n_out].sum() == 0       # outliers flagged
+        assert inlier[n_out:].sum() > 150      # inliers kept
+        err = np.asarray(se3.log(se3.compose(T, se3.inverse(T_true))))
+        assert np.abs(err).max() < 2e-3
+
+    def test_padding_is_ignored(self):
+        cam = make_camera()
+        rng = np.random.default_rng(2)
+        pts = synth_scene(rng, 64)
+        from myslam_tpu.geom import projection
+        T_true = se3.identity()
+        uv, _ = projection.project_world(cam, T_true, pts)
+        pad_pts = jnp.concatenate([pts, jnp.zeros((64, 3))], axis=0)
+        pad_uv = jnp.concatenate([uv, jnp.full((64, 2), 1e4)], axis=0)
+        valid = jnp.concatenate([jnp.ones(64, bool), jnp.zeros(64, bool)])
+        T, inlier, n = pose_opt.optimize_pose(
+            cam, se3.identity(), pad_pts, pad_uv,
+            jnp.ones(128, dtype=jnp.float32), valid)
+        assert int(n) == 64
+        err = np.asarray(se3.log(se3.compose(T, se3.inverse(T_true))))
+        assert np.abs(err).max() < 1e-4
+
+
+def build_ba_problem(rng, n_kf=6, n_pts=120, noise_px=0.5, perturb=0.02):
+    cam = make_camera()
+    pts_true = synth_scene(rng, n_pts)
+    from myslam_tpu.geom import projection
+    poses_true = []
+    for k in range(n_kf):
+        xi = np.zeros(6, dtype=np.float32)
+        xi[3] = 0.25 * k  # sideways baseline
+        xi[:3] = rng.normal(size=3) * 0.01
+        poses_true.append(np.asarray(se3.exp(jnp.asarray(xi))))
+    poses_true = jnp.asarray(np.stack(poses_true))
+
+    edge_kf, edge_pt, edge_uv = [], [], []
+    for k in range(n_kf):
+        uv, z = projection.project_world(cam, poses_true[k], pts_true)
+        uv = np.asarray(uv) + rng.normal(size=(n_pts, 2)) * noise_px
+        for p in range(n_pts):
+            edge_kf.append(k)
+            edge_pt.append(p)
+            edge_uv.append(uv[p])
+    E = len(edge_kf)
+
+    # Perturb non-fixed poses and all points (poses 0,1 stay at truth —
+    # they are the fixed gauge anchors).
+    poses0 = [np.asarray(poses_true[0]), np.asarray(poses_true[1])]
+    for k in range(2, n_kf):
+        xi = jnp.asarray(rng.normal(size=6) * perturb, dtype=jnp.float32)
+        poses0.append(np.asarray(se3.compose(se3.exp(xi), poses_true[k])))
+    pts0 = pts_true + jnp.asarray(rng.normal(size=(n_pts, 3)) * 0.05,
+                                  dtype=jnp.float32)
+
+    prob = ba.BAProblem(
+        kf_pose=jnp.asarray(np.stack(poses0)),
+        pt_xyz=pts0,
+        edge_kf=jnp.asarray(edge_kf, dtype=jnp.int32),
+        edge_pt=jnp.asarray(edge_pt, dtype=jnp.int32),
+        edge_uv=jnp.asarray(np.stack(edge_uv), dtype=jnp.float32),
+        edge_inv_sigma2=jnp.ones(E, dtype=jnp.float32),
+        edge_valid=jnp.ones(E, dtype=bool),
+        # Two fixed poses pin the monocular gauge (incl. scale), like the
+        # reference's fixed-boundary-KF set in local BA (src/Optimizer.cc:522-534).
+        kf_fixed=jnp.asarray([True, True] + [False] * (n_kf - 2)),
+    )
+    return cam, prob, poses_true, pts_true
+
+
+class TestBA:
+    def test_local_ba_converges(self):
+        rng = np.random.default_rng(3)
+        cam, prob, poses_true, pts_true = build_ba_problem(rng)
+        out, inlier = ba.bundle_adjust(cam, prob)
+        # Pose error after BA — bounded by the 0.5px observation noise.
+        err = np.asarray(se3.log(se3.compose(
+            out.kf_pose, se3.inverse(poses_true))))
+        assert np.abs(err).max() < 2e-2
+        # Landmark error bounded
+        pt_err = np.abs(np.asarray(out.pt_xyz - pts_true))
+        assert np.median(pt_err) < 0.03
+        assert np.asarray(inlier).mean() > 0.95
+        # Cost at the noise floor: E[chi2] ~ 2 * sigma_px^2 * E edges = 360.
+        chi, _ = ba.edge_chi2_depth(cam, out)
+        assert float(jnp.sum(chi)) < 500.0
+
+    def test_ba_reduces_cost(self):
+        rng = np.random.default_rng(4)
+        cam, prob, _, _ = build_ba_problem(rng, perturb=0.04)
+        chi0, _ = ba.edge_chi2_depth(cam, prob)
+        out, _ = ba.bundle_adjust(cam, prob)
+        chi1, _ = ba.edge_chi2_depth(cam, out)
+        assert float(jnp.sum(chi1)) < 0.05 * float(jnp.sum(chi0))
+
+    def test_fixed_pose_untouched(self):
+        rng = np.random.default_rng(5)
+        cam, prob, _, _ = build_ba_problem(rng)
+        out, _ = ba.bundle_adjust(cam, prob)
+        np.testing.assert_allclose(np.asarray(out.kf_pose[0]),
+                                   np.asarray(prob.kf_pose[0]), atol=1e-7)
+
+    def test_outlier_edges_dropped(self):
+        rng = np.random.default_rng(6)
+        cam, prob, _, _ = build_ba_problem(rng)
+        uv = np.array(prob.edge_uv)
+        uv[:30] += 50.0  # corrupt 30 observations
+        prob = prob._replace(edge_uv=jnp.asarray(uv))
+        out, inlier = ba.bundle_adjust(cam, prob)
+        assert np.asarray(inlier)[:30].sum() == 0
+
+
+class TestSim3Opt:
+    def test_recovers_relative_sim3(self):
+        cam = make_camera()
+        rng = np.random.default_rng(7)
+        pts_c2 = synth_scene(rng, 80)
+        xi_true = jnp.asarray([0.04, -0.02, 0.03, 0.2, -0.1, 0.1, 0.15],
+                              dtype=jnp.float32)
+        S12_true = sim3.exp(xi_true)
+        pts_c1 = sim3.transform(S12_true, pts_c2)
+        from myslam_tpu.geom import projection
+        uv1, _ = projection.project(cam, pts_c1)
+        uv2, _ = projection.project(cam, pts_c2)
+        S0 = sim3.exp(xi_true + jnp.asarray(
+            rng.normal(size=7) * 0.02, dtype=jnp.float32))
+        R, t, s, inlier, n = sim3_opt.optimize_sim3(
+            cam, cam, S0[0], S0[1], S0[2], pts_c1, pts_c2, uv1, uv2,
+            jnp.ones(80), jnp.ones(80), jnp.ones(80, bool))
+        err = np.asarray(sim3.log(sim3.compose(
+            (R, t, s), sim3.inverse(S12_true))))
+        assert np.abs(err).max() < 1e-3
+        assert int(n) == 80
+
+
+class TestPoseGraph:
+    def test_loop_correction(self):
+        """Chain of keyframes with scale drift; loop edge to the start pulls
+        it back — the essential-graph scenario (src/Optimizer.cc:781+)."""
+        rng = np.random.default_rng(8)
+        K = 12
+        # Ground truth: cameras on a circle (loop).
+        true_S = []
+        for k in range(K):
+            ang = 2 * np.pi * k / K
+            xi = jnp.asarray([0, ang, 0, np.cos(ang), 0, np.sin(ang), 0],
+                             dtype=jnp.float32)
+            true_S.append(sim3.exp(xi))
+        true = sim3.stack(true_S)
+
+        # Drifted estimates: accumulate noisy relative transforms.
+        est_S = [true_S[0]]
+        for k in range(1, K):
+            rel = sim3.compose(true_S[k], sim3.inverse(true_S[k - 1]))
+            noise = jnp.asarray(
+                np.concatenate([rng.normal(size=6) * 0.02, [0.02]]),
+                dtype=jnp.float32)
+            rel_noisy = sim3.compose(sim3.exp(noise), rel)
+            est_S.append(sim3.compose(rel_noisy, est_S[-1]))
+        est = sim3.stack(est_S)
+
+        # Edges: consecutive (from drifted measurements = their own residual 0)
+        # plus a loop edge K-1 -> 0 with the TRUE relative transform.
+        ei, ej, mR, mt, ms = [], [], [], [], []
+        for k in range(1, K):
+            rel = sim3.compose(sim3.index(est, k),
+                               sim3.inverse(sim3.index(est, k - 1)))
+            ei.append(k - 1); ej.append(k)
+            mR.append(rel[0]); mt.append(rel[1]); ms.append(rel[2])
+        loop_rel = sim3.compose(true_S[-1], sim3.inverse(true_S[0]))
+        ei.append(0); ej.append(K - 1)
+        mR.append(loop_rel[0]); mt.append(loop_rel[1]); ms.append(loop_rel[2])
+
+        prob = pose_graph.PoseGraphProblem(
+            R=est[0], t=est[1], s=est[2],
+            edge_i=jnp.asarray(ei, dtype=jnp.int32),
+            edge_j=jnp.asarray(ej, dtype=jnp.int32),
+            meas_R=jnp.stack(mR), meas_t=jnp.stack(mt), meas_s=jnp.stack(ms),
+            edge_valid=jnp.ones(len(ei), dtype=bool),
+            fixed=jnp.asarray([True] + [False] * (K - 1)),
+        )
+        out = pose_graph.optimize_pose_graph(prob, iters=30)
+        # The correction distributes over all edges, so check (a) total cost
+        # collapses, (b) every pose ends closer to ground truth than the
+        # drifted estimate was, (c) scale drift is corrected.
+        cost0 = float(pose_graph._cost_only(prob))
+        cost1 = float(pose_graph._cost_only(out))
+        # Optimum distributes the loop residual over K edges: cost ~ cost0/K.
+        assert cost1 < 1.5 * cost0 / K
+
+        def pose_errs(R, t, s):
+            errs = []
+            for k in range(K):
+                d = sim3.compose((R[k], t[k], s[k]),
+                                 sim3.inverse(sim3.index(true, k)))
+                errs.append(np.abs(np.asarray(sim3.log(d))).max())
+            return np.asarray(errs)
+
+        err_before = pose_errs(prob.R, prob.t, prob.s)
+        err_after = pose_errs(out.R, out.t, out.s)
+        assert err_after.max() < 0.6 * max(err_before.max(), 1e-6)
+        # Scale drift corrected: scales near 1.
+        assert np.abs(np.asarray(out.s) - 1.0).max() < 0.05
+
+    def test_correct_points(self):
+        rng = np.random.default_rng(9)
+        pts = synth_scene(rng, 50)
+        K = 4
+        S_old = sim3.stack([sim3.exp(jnp.asarray(
+            rng.normal(size=7) * 0.1, dtype=jnp.float32)) for _ in range(K)])
+        S_new = sim3.stack([sim3.exp(jnp.asarray(
+            rng.normal(size=7) * 0.1, dtype=jnp.float32)) for _ in range(K)])
+        ref = jnp.asarray(rng.integers(0, K, 50), dtype=jnp.int32)
+        out = pose_graph.correct_points(pts, ref, S_old, S_new)
+        # Check one point by hand.
+        i = 7
+        k = int(ref[i])
+        manual = sim3.transform(
+            sim3.inverse(sim3.index(S_new, k)),
+            sim3.transform(sim3.index(S_old, k), pts[i]))
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(manual),
+                                   atol=1e-5)
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q"]))
