@@ -10,15 +10,18 @@ boundaries without retracing.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
+from flax import struct
 
 from . import se3
 
 
-class Camera(NamedTuple):
-    """Pinhole + radial-tangential distortion (OpenCV convention)."""
+@struct.dataclass
+class Camera:
+    """Pinhole + radial-tangential distortion (OpenCV convention).
+
+    width/height are static pytree aux data so jitted consumers can use them
+    as Python numbers without retracing on intrinsics changes."""
 
     fx: jnp.ndarray
     fy: jnp.ndarray
@@ -29,8 +32,8 @@ class Camera(NamedTuple):
     p1: jnp.ndarray
     p2: jnp.ndarray
     k3: jnp.ndarray
-    width: int  # static (python int) — shapes depend on it
-    height: int
+    width: int = struct.field(pytree_node=False, default=640)
+    height: int = struct.field(pytree_node=False, default=480)
 
     @classmethod
     def create(cls, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
