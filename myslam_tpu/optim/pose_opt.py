@@ -75,7 +75,8 @@ def _lm_rounds(cam, Tcw, xyz_w, uv, inv_sigma2, active, n_iters, use_huber):
 
 @partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
 def optimize_pose(cam: Camera, Tcw0, xyz_w, uv, inv_sigma2, valid,
-                  rounds: int = 4, iters_per_round: int = 10):
+                  rounds: int = 4, iters_per_round: int = 10,
+                  active0=None):
     """Refine a camera pose against fixed 3D points.
 
     Args:
@@ -83,7 +84,11 @@ def optimize_pose(cam: Camera, Tcw0, xyz_w, uv, inv_sigma2, valid,
       xyz_w: [N, 3] matched map-point positions (fixed).
       uv: [N, 2] observed (undistorted) keypoint positions.
       inv_sigma2: [N] per-observation information (1/sigma^2 of the octave).
-      valid: [N] bool — real matches (padding is False).
+      valid: [N] bool — real matches (padding is False). Relabeling each
+        round is against this full set, so matches outside the initial
+        active set can be RECLAIMED (the reference's level-0/1 edge moves).
+      active0: [N] bool — optional initial active subset (e.g. RANSAC
+        inliers); defaults to valid.
       rounds/iters_per_round: 4 x 10 like the reference
         (src/Optimizer.cc:367-379).
 
@@ -96,7 +101,7 @@ def optimize_pose(cam: Camera, Tcw0, xyz_w, uv, inv_sigma2, valid,
     the kernel at it==2). Outliers can be reclaimed by later rounds, like the
     reference's level-0/level-1 edge moves.
     """
-    inlier = valid
+    inlier = valid if active0 is None else (valid & active0)
     Tcw = Tcw0
     for r in range(rounds):
         use_huber = r < 2

@@ -1,0 +1,208 @@
+"""Tests for the batched RANSAC solvers: two-view init, PnP, Sim3-Horn.
+
+Synthetic geometry with known ground truth (SURVEY.md §4 test plan).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myslam_tpu.geom import se3
+from myslam_tpu.geom.projection import Camera
+from myslam_tpu.solvers import initializer, pnp, sim3_solver
+
+CAM = Camera.create(fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480)
+RNG = np.random.default_rng(0)
+
+
+def project_np(xyz_cam):
+    return np.stack([
+        500.0 * xyz_cam[:, 0] / xyz_cam[:, 2] + 320.0,
+        500.0 * xyz_cam[:, 1] / xyz_cam[:, 2] + 240.0,
+    ], axis=1)
+
+
+def rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def make_two_view(n=200, planar=False, noise=0.3, outlier_frac=0.1):
+    """Scene + two cameras. Returns x1, x2, valid, R21, t21 (ground truth)."""
+    if planar:
+        xyz = np.stack([
+            RNG.uniform(-3, 3, n), RNG.uniform(-2, 2, n), np.full(n, 6.0)
+        ], 1).astype(np.float32)
+    else:
+        xyz = np.stack([
+            RNG.uniform(-3, 3, n), RNG.uniform(-2, 2, n), RNG.uniform(4, 10, n)
+        ], 1).astype(np.float32)
+    R21 = rot_y(0.05)
+    t21 = np.array([-0.8, 0.05, 0.02], np.float32)
+    x1 = project_np(xyz)
+    x2 = project_np(xyz @ R21.T + t21)
+    x1 += RNG.normal(0, noise, x1.shape)
+    x2 += RNG.normal(0, noise, x2.shape)
+    n_out = int(n * outlier_frac)
+    if n_out:
+        sel = RNG.choice(n, n_out, replace=False)
+        x2[sel] = RNG.uniform(50, 590, (n_out, 2))
+    inb = (
+        (x1[:, 0] > 0) & (x1[:, 0] < 640) & (x1[:, 1] > 0) & (x1[:, 1] < 480)
+        & (x2[:, 0] > 0) & (x2[:, 0] < 640) & (x2[:, 1] > 0) & (x2[:, 1] < 480)
+    )
+    return (jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(inb),
+            R21, t21, xyz)
+
+
+class TestInitializer:
+    def test_general_scene_uses_f(self):
+        x1, x2, valid, R_gt, t_gt, xyz = make_two_view()
+        res = initializer.initialize_two_view(
+            CAM, x1, x2, valid, jax.random.PRNGKey(0))
+        assert bool(res.ok)
+        assert not bool(res.used_h)
+        R = np.asarray(se3.rotation(res.T21))
+        t = np.asarray(se3.translation(res.T21))
+        # rotation error
+        ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+        assert ang < 0.5, ang
+        # translation direction (scale-free)
+        cos_t = abs(t @ t_gt) / (np.linalg.norm(t) * np.linalg.norm(t_gt))
+        assert cos_t > 0.999
+        # triangulated structure matches up to scale
+        good = np.asarray(res.tri_ok)
+        assert good.sum() > 100
+        pts = np.asarray(res.points)[good]
+        scale = np.median(pts[:, 2] / xyz[good][:, 2])
+        err = np.linalg.norm(pts / scale - xyz[good], axis=1)
+        assert np.median(err) < 0.05
+
+    def test_planar_scene_uses_h(self):
+        x1, x2, valid, R_gt, t_gt, _ = make_two_view(planar=True, noise=0.2)
+        res = initializer.initialize_two_view(
+            CAM, x1, x2, valid, jax.random.PRNGKey(1))
+        assert bool(res.used_h)
+        assert bool(res.ok)
+        R = np.asarray(se3.rotation(res.T21))
+        ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+        assert ang < 1.0, ang
+        t = np.asarray(se3.translation(res.T21))
+        cos_t = abs(t @ t_gt) / (np.linalg.norm(t) * np.linalg.norm(t_gt))
+        assert cos_t > 0.99
+
+    def test_no_parallax_fails(self):
+        # pure rotation -> must NOT accept an initialization
+        n = 200
+        xyz = np.stack([
+            RNG.uniform(-3, 3, n), RNG.uniform(-2, 2, n), RNG.uniform(4, 10, n)
+        ], 1).astype(np.float32)
+        R = rot_y(0.03)
+        x1 = project_np(xyz)
+        x2 = project_np(xyz @ R.T)
+        valid = jnp.ones(n, bool)
+        res = initializer.initialize_two_view(
+            CAM, jnp.asarray(x1), jnp.asarray(x2), valid, jax.random.PRNGKey(2))
+        assert not bool(res.ok)
+
+    def test_too_few_matches_fails(self):
+        x1, x2, valid, *_ = make_two_view(n=60)
+        valid = valid & (jnp.arange(60) < 20)  # only 20 matches
+        res = initializer.initialize_two_view(
+            CAM, x1, x2, valid, jax.random.PRNGKey(3))
+        assert not bool(res.ok)
+
+
+class TestPnP:
+    def _problem(self, n=100, outlier_frac=0.3):
+        rng = np.random.default_rng(7)  # test-local: independent of run order
+        xyz = np.stack([
+            rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(4, 10, n)
+        ], 1).astype(np.float32)
+        R_gt = rot_y(0.1)
+        t_gt = np.array([0.3, -0.1, 0.5], np.float32)
+        uv = project_np(xyz @ R_gt.T + t_gt) + rng.normal(0, 0.3, (n, 2))
+        n_out = int(n * outlier_frac)
+        sel = rng.choice(n, n_out, replace=False)
+        uv[sel] += rng.uniform(30, 100, (n_out, 2))
+        return (jnp.asarray(xyz), jnp.asarray(uv.astype(np.float32)),
+                R_gt, t_gt, sel)
+
+    def test_recovers_pose_with_outliers(self):
+        xyz, uv, R_gt, t_gt, out_sel = self._problem()
+        n = xyz.shape[0]
+        res = pnp.solve_pnp(
+            CAM, xyz, uv, jnp.ones(n), jnp.ones(n, bool),
+            jax.random.PRNGKey(0), n_hyp=256)
+        assert bool(res.ok)
+        R = np.asarray(se3.rotation(res.Tcw))
+        t = np.asarray(se3.translation(res.Tcw))
+        ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+        assert ang < 0.2, ang
+        assert np.linalg.norm(t - t_gt) < 0.02
+        # outliers excluded
+        inl = np.asarray(res.inliers)
+        assert inl[out_sel].mean() < 0.2
+        assert int(res.n_inliers) > 0.9 * (n - len(out_sel))
+
+    def test_degenerate_all_outliers(self):
+        n = 64
+        xyz = jnp.asarray(RNG.uniform(-3, 3, (n, 3)).astype(np.float32)
+                          + np.array([0, 0, 7], np.float32))
+        uv = jnp.asarray(RNG.uniform(0, 640, (n, 2)).astype(np.float32))
+        res = pnp.solve_pnp(CAM, xyz, uv, jnp.ones(n), jnp.ones(n, bool),
+                            jax.random.PRNGKey(1))
+        assert int(res.n_inliers) < 15
+
+
+class TestSim3:
+    def _problem(self, n=80, s_gt=1.6, outlier_frac=0.2):
+        p2 = np.stack([
+            RNG.uniform(-2, 2, n), RNG.uniform(-1.5, 1.5, n), RNG.uniform(4, 8, n)
+        ], 1).astype(np.float32)
+        R_gt = rot_y(0.2)
+        t_gt = np.array([0.5, 0.1, -0.3], np.float32)
+        p1 = s_gt * p2 @ R_gt.T + t_gt
+        uv1 = project_np(p1) + RNG.normal(0, 0.2, (n, 2))
+        uv2 = project_np(p2) + RNG.normal(0, 0.2, (n, 2))
+        n_out = int(n * outlier_frac)
+        sel = RNG.choice(n, n_out, replace=False)
+        p2_noisy = p2.copy()
+        p2_noisy[sel] += RNG.uniform(1, 3, (n_out, 3))
+        return p1, p2_noisy, uv1, uv2, R_gt, t_gt, s_gt
+
+    def test_recovers_sim3(self):
+        p1, p2, uv1, uv2, R_gt, t_gt, s_gt = self._problem()
+        n = p1.shape[0]
+        gate = jnp.full(n, 9.21 * 4.0)
+        res = sim3_solver.solve_sim3(
+            CAM, CAM, jnp.asarray(p1), jnp.asarray(p2),
+            jnp.asarray(uv1), jnp.asarray(uv2), gate, gate,
+            jnp.ones(n, bool), jax.random.PRNGKey(0))
+        assert bool(res.ok)
+        assert abs(float(res.s12) - s_gt) < 0.02
+        R = np.asarray(res.R12)
+        ang = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+        assert ang < 0.5
+        assert np.linalg.norm(np.asarray(res.t12) - t_gt) < 0.05
+
+    def test_fix_scale(self):
+        p1, p2, uv1, uv2, *_ = self._problem(s_gt=1.0, outlier_frac=0.0)
+        n = p1.shape[0]
+        gate = jnp.full(n, 9.21 * 4.0)
+        res = sim3_solver.solve_sim3(
+            CAM, CAM, jnp.asarray(p1), jnp.asarray(p2),
+            jnp.asarray(uv1), jnp.asarray(uv2), gate, gate,
+            jnp.ones(n, bool), jax.random.PRNGKey(1), fix_scale=True)
+        assert float(res.s12) == 1.0
+        assert bool(res.ok)
+
+    def test_horn_exact_noise_free(self):
+        p2 = RNG.uniform(-2, 2, (10, 3)).astype(np.float32)
+        R_gt = rot_y(0.7)
+        p1 = 2.0 * p2 @ R_gt.T + np.array([1.0, 2.0, 3.0], np.float32)
+        R, t, s = sim3_solver.horn_sim3(jnp.asarray(p1)[None], jnp.asarray(p2)[None])
+        assert abs(float(s[0]) - 2.0) < 1e-4
+        assert np.allclose(np.asarray(R[0]), R_gt, atol=1e-4)
+        assert np.allclose(np.asarray(t[0]), [1, 2, 3], atol=1e-3)
