@@ -1,0 +1,297 @@
+"""Tests for MapStore and local-mapping operations on synthetic scenes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myslam_tpu.features.frame import FrameFeatures
+from myslam_tpu.geom import se3
+from myslam_tpu.geom.projection import Camera
+from myslam_tpu.mapping import local_mapping, map_store
+
+CAM = Camera.create(fx=400.0, fy=400.0, cx=320.0, cy=240.0, width=640, height=480)
+F_CAP = 256
+
+
+def small_store():
+    return map_store.MapStore.create(kf_cap=16, pt_cap=512, feat_cap=F_CAP)
+
+
+def rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+class Scene:
+    """n world points viewed from poses along +x; deterministic descriptors."""
+
+    def __init__(self, n=120, seed=3):
+        rng = np.random.default_rng(seed)
+        self.xyz = np.stack([
+            rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(5, 9, n)
+        ], 1).astype(np.float32)
+        self.desc = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+        self.n = n
+
+    def pose(self, i):
+        return se3.make(jnp.asarray(rot_y(0.02 * i)),
+                        jnp.asarray(np.array([-0.4 * i, 0, 0], np.float32)))
+
+    def view(self, i, noise=0.2, rng=None):
+        """FrameFeatures + ground-truth point index per feature slot."""
+        rng = rng or np.random.default_rng(100 + i)
+        pc = np.asarray(se3.transform(self.pose(i), jnp.asarray(self.xyz)))
+        uv = np.stack([400 * pc[:, 0] / pc[:, 2] + 320,
+                       400 * pc[:, 1] / pc[:, 2] + 240], 1)
+        uv += rng.normal(0, noise, uv.shape)
+        vis = ((pc[:, 2] > 0) & (uv[:, 0] > 20) & (uv[:, 0] < 620)
+               & (uv[:, 1] > 20) & (uv[:, 1] < 460))
+        idx = np.nonzero(vis)[0][:F_CAP]
+        m = len(idx)
+        xy = np.zeros((F_CAP, 2), np.float32)
+        xy[:m] = uv[idx]
+        desc = np.zeros((F_CAP, 8), np.uint32)
+        desc[:m] = self.desc[idx]
+        valid = np.zeros(F_CAP, bool)
+        valid[:m] = True
+        feats = FrameFeatures(
+            xy=jnp.asarray(xy), xy_raw=jnp.asarray(xy),
+            level=jnp.zeros(F_CAP, jnp.int32),
+            angle=jnp.zeros(F_CAP, jnp.float32),
+            response=jnp.ones(F_CAP, jnp.float32),
+            desc=jnp.asarray(desc), valid=jnp.asarray(valid),
+        )
+        gt = np.full(F_CAP, -1, np.int64)
+        gt[:m] = idx
+        return feats, gt
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene()
+
+
+class TestMapStoreBasics:
+    def test_add_keyframe_and_seq(self, scene):
+        store = small_store()
+        f0, _ = scene.view(0)
+        store, k0 = map_store.add_keyframe(
+            store, scene.pose(0), f0, jnp.full(F_CAP, -1, jnp.int32), 0, 0.0)
+        store, k1 = map_store.add_keyframe(
+            store, scene.pose(1), scene.view(1)[0],
+            jnp.full(F_CAP, -1, jnp.int32), 1, 0.1)
+        assert int(k0) == 0 and int(k1) == 1
+        assert int(store.kf_seq[0]) == 0 and int(store.kf_seq[1]) == 1
+        assert int(store.next_seq) == 2
+
+    def test_point_allocation_and_observation(self, scene):
+        store = small_store()
+        f0, gt0 = scene.view(0)
+        store, k0 = map_store.add_keyframe(
+            store, scene.pose(0), f0, jnp.full(F_CAP, -1, jnp.int32), 0, 0.0)
+        # create points for first 50 features
+        want = jnp.arange(64) < 50
+        slots = map_store.allocate_points(store, want)
+        assert int((slots >= 0).sum()) == 50
+        store = map_store.write_points(
+            store, slots,
+            xyz=jnp.asarray(scene.xyz[gt0[:64].clip(0)]),
+            desc=f0.desc[:64], normal=jnp.zeros((64, 3)),
+            min_dist=jnp.ones(64), max_dist=jnp.full(64, 20.0),
+            ref_kf=jnp.zeros(64, jnp.int32), ref_level=jnp.zeros(64, jnp.int32),
+            first_kf=jnp.zeros(64, jnp.int32))
+        store = map_store.set_observations(
+            store, k0, jnp.arange(64), slots, want)
+        assert int(store.pt_valid.sum()) == 50
+        cnt = map_store.observation_count(store)
+        assert int(cnt.sum()) == 50
+        # kf_obs round trip
+        assert int((store.kf_obs[0, :50] >= 0).sum()) == 50
+
+    def test_covisibility_counts(self, scene):
+        store, ids = build_two_kf_map(scene)
+        W = map_store.covisibility(store)
+        # both KFs observe the same 50 points
+        assert int(W[0, 1]) == 50 and int(W[1, 0]) == 50
+        assert int(W[0, 0]) == 0
+
+    def test_erase_points_strips_observations(self, scene):
+        store, ids = build_two_kf_map(scene)
+        kill = jnp.zeros(store.pt_cap, bool).at[ids[:10]].set(True)
+        store = map_store.erase_points(store, kill)
+        assert int(store.pt_valid.sum()) == 40
+        assert int((store.kf_obs >= 0).sum()) == 80
+
+    def test_observation_table(self, scene):
+        store, ids = build_two_kf_map(scene)
+        obs_kf, obs_feat, obs_ok = map_store.observation_table(
+            store, ids[:8], o_max=4)
+        assert obs_ok.shape == (8, 4)
+        assert int(obs_ok.sum()) == 16  # each point seen by both KFs
+        # features must map back to the right point
+        for m in range(8):
+            for o in range(4):
+                if bool(obs_ok[m, o]):
+                    k, f = int(obs_kf[m, o]), int(obs_feat[m, o])
+                    assert int(store.kf_obs[k, f]) == int(ids[m])
+
+    def test_refresh_point_stats(self, scene):
+        store, ids = build_two_kf_map(scene)
+        store = map_store.refresh_point_stats(store, ids)
+        # normals should roughly point from cameras toward the points (+z-ish)
+        nrm = np.asarray(store.pt_normal[np.asarray(ids)])
+        assert (nrm[:, 2] > 0.5).mean() > 0.9
+        # distance band sane: min < max, max ~ dist to ref kf
+        mn = np.asarray(store.pt_min_dist[np.asarray(ids)])
+        mx = np.asarray(store.pt_max_dist[np.asarray(ids)])
+        assert (mn < mx).all() and (mx > 3).all()
+
+    def test_replace_points_merges(self, scene):
+        store, ids = build_two_kf_map(scene)
+        mapping = jnp.arange(store.pt_cap)
+        a, b = int(ids[0]), int(ids[1])
+        mapping = mapping.at[a].set(b)
+        store2 = map_store.replace_points(store, mapping)
+        assert not bool(store2.pt_valid[a])
+        # observations redirected
+        assert int((store2.kf_obs == a).sum()) == 0
+        assert int((store2.kf_obs == b).sum()) == 4  # b's 2 + a's 2
+
+
+def build_two_kf_map(scene, n_pts=50):
+    """Store with 2 keyframes and n_pts shared points, fully observed."""
+    store = map_store.MapStore.create(kf_cap=16, pt_cap=512, feat_cap=F_CAP)
+    f0, gt0 = scene.view(0)
+    f1, gt1 = scene.view(1)
+    store, k0 = map_store.add_keyframe(
+        store, scene.pose(0), f0, jnp.full(F_CAP, -1, jnp.int32), 0, 0.0)
+    store, k1 = map_store.add_keyframe(
+        store, scene.pose(1), f1, jnp.full(F_CAP, -1, jnp.int32), 1, 0.1)
+    # choose n_pts world points visible in both
+    common = sorted(set(gt0[gt0 >= 0]) & set(gt1[gt1 >= 0]))[:n_pts]
+    want = jnp.arange(n_pts) >= 0
+    slots = map_store.allocate_points(store, want)
+    store = map_store.write_points(
+        store, slots,
+        xyz=jnp.asarray(scene.xyz[np.asarray(common)]),
+        desc=jnp.asarray(scene.desc[np.asarray(common)]),
+        normal=jnp.zeros((n_pts, 3)),
+        min_dist=jnp.ones(n_pts), max_dist=jnp.full(n_pts, 20.0),
+        ref_kf=jnp.zeros(n_pts, jnp.int32),
+        ref_level=jnp.zeros(n_pts, jnp.int32),
+        first_kf=jnp.zeros(n_pts, jnp.int32))
+    # associate in both KFs: feature index of world point w in view i
+    f0_of = {w: f for f, w in enumerate(gt0) if w >= 0}
+    f1_of = {w: f for f, w in enumerate(gt1) if w >= 0}
+    feat0 = jnp.asarray([f0_of[w] for w in common], jnp.int32)
+    feat1 = jnp.asarray([f1_of[w] for w in common], jnp.int32)
+    store = map_store.set_observations(store, k0, feat0, slots, want)
+    store = map_store.set_observations(store, k1, feat1, slots, want)
+    return store, slots
+
+
+class TestLocalMapping:
+    def test_triangulate_new_points(self, scene):
+        store, ids = build_two_kf_map(scene, n_pts=30)  # 30 known, rest free
+        n_before = int(store.pt_valid.sum())
+        store = local_mapping.create_new_points(
+            store, CAM, 1, [0], max_new_per_pair=128)
+        n_after = int(store.pt_valid.sum())
+        assert n_after > n_before + 20
+        # new points near ground truth
+        new_mask = np.asarray(store.pt_valid).copy()
+        new_mask[np.asarray(ids)[np.asarray(ids) >= 0]] = False
+        new_xyz = np.asarray(store.pt_xyz)[new_mask]
+        d = np.min(np.linalg.norm(
+            new_xyz[:, None, :] - scene.xyz[None, :, :], axis=-1), axis=1)
+        # expected depth error z^2/(f*b) * sigma ~ 0.09 m at this geometry
+        assert np.median(d) < 0.12, np.median(d)
+
+    def test_cull_points_low_ratio(self, scene):
+        store, ids = build_two_kf_map(scene)
+        # make first 5 points look untrackable: high visible, low found
+        bad_ids = np.asarray(ids[:5])
+        store = store.replace(
+            pt_visible=store.pt_visible.at[bad_ids].set(20),
+            pt_found=store.pt_found.at[bad_ids].set(1),
+            pt_first_kf=store.pt_first_kf.at[bad_ids].set(1),
+        )
+        store = local_mapping.cull_points(store, 1)
+        assert not bool(store.pt_valid[bad_ids].any())
+
+    def test_local_ba_improves_map(self, scene):
+        store, ids = build_two_kf_map(scene)
+        # perturb the second pose and all points
+        rng = np.random.default_rng(0)
+        noisy_pose = se3.retract(
+            store.kf_pose[1],
+            jnp.asarray(np.r_[rng.normal(0, 0.01, 3), rng.normal(0, 0.03, 3)]
+                        .astype(np.float32)))
+        pts = np.asarray(store.pt_xyz).copy()
+        pts[np.asarray(ids)] += rng.normal(0, 0.05, (len(ids), 3))
+        store = store.replace(
+            kf_pose=store.kf_pose.at[1].set(noisy_pose),
+            pt_xyz=jnp.asarray(pts.astype(np.float32)))
+        store2 = local_mapping.local_bundle_adjustment(
+            store, CAM, 1, k_free=4, k_fixed=4, p_max=128, o_max=4)
+        err_before = np.linalg.norm(
+            np.asarray(store.pt_xyz)[np.asarray(ids)] - scene.xyz[:0], axis=-1
+        ) if False else None
+        # compare to ground truth (KF0 fixed defines the gauge)
+        gt = build_two_kf_map(scene)[0]
+        e0 = float(jnp.abs(store.kf_pose[1] - gt.kf_pose[1]).max())
+        e1 = float(jnp.abs(store2.kf_pose[1] - gt.kf_pose[1]).max())
+        assert e1 < 0.3 * e0, (e0, e1)
+
+    def test_redundant_keyframes(self, scene):
+        # 4 KFs all observing the same points -> middle ones redundant
+        store = map_store.MapStore.create(kf_cap=16, pt_cap=512, feat_cap=F_CAP)
+        n_pts = 40
+        views = [scene.view(i) for i in range(4)]
+        common = set(views[0][1][views[0][1] >= 0])
+        for _, gt in views[1:]:
+            common &= set(gt[gt >= 0])
+        common = sorted(common)[:n_pts]
+        kfs = []
+        for i, (f, gt) in enumerate(views):
+            store, k = map_store.add_keyframe(
+                store, scene.pose(i), f, jnp.full(F_CAP, -1, jnp.int32), i, 0.0)
+            kfs.append(int(k))
+        want = jnp.arange(n_pts) >= 0
+        slots = map_store.allocate_points(store, want)
+        store = map_store.write_points(
+            store, slots, xyz=jnp.asarray(scene.xyz[np.asarray(common)]),
+            desc=jnp.asarray(scene.desc[np.asarray(common)]),
+            normal=jnp.zeros((n_pts, 3)), min_dist=jnp.ones(n_pts),
+            max_dist=jnp.full(n_pts, 20.0),
+            ref_kf=jnp.zeros(n_pts, jnp.int32),
+            ref_level=jnp.zeros(n_pts, jnp.int32),
+            first_kf=jnp.zeros(n_pts, jnp.int32))
+        for i, (f, gt) in enumerate(views):
+            f_of = {w: j for j, w in enumerate(gt) if w >= 0}
+            fidx = jnp.asarray([f_of[w] for w in common], jnp.int32)
+            store = map_store.set_observations(store, kfs[i], fidx, slots, want)
+        red = local_mapping.redundant_keyframes(store, protect_id=3)
+        # KFs 1 and 2: every point also seen by 3 others at same level
+        assert bool(red[1]) and bool(red[2])
+        assert not bool(red[0]) and not bool(red[3])  # origin+protected
+
+    def test_fuse_adds_observation(self, scene):
+        store, ids = build_two_kf_map(scene, n_pts=30)
+        # new KF 2 sees the scene but has no associations yet
+        f2, gt2 = scene.view(2)
+        store, k2 = map_store.add_keyframe(
+            store, scene.pose(2), f2, jnp.full(F_CAP, -1, jnp.int32), 2, 0.2)
+        store = map_store.refresh_point_stats(store, ids)
+        store = local_mapping.fuse_into_keyframe(
+            store, CAM, k2, ids, ids >= 0)
+        n_obs2 = int((store.kf_obs[2] >= 0).sum())
+        assert n_obs2 > 15, n_obs2
+        # associations point at the right world points
+        obs = np.asarray(store.kf_obs[2])
+        for f in np.nonzero(obs >= 0)[0][:10]:
+            pid = obs[f]
+            w = gt2[f]
+            assert np.allclose(np.asarray(store.pt_xyz[pid]), scene.xyz[w],
+                               atol=0.01)
