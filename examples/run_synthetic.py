@@ -1,0 +1,72 @@
+"""Headless end-to-end monocular SLAM on a synthetic sequence.
+
+The example-driver equivalent of the reference's Examples/Monocular mains
+(mono_tum.cc etc.): run the tracker over a sequence, print per-frame
+timing statistics and the ATE RMSE against ground truth, save the
+trajectory in TUM format.
+
+Usage: python examples/run_synthetic.py [n_frames] [--platform cpu]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+if "--platform" in sys.argv:
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+
+import numpy as np  # noqa: E402
+
+from myslam_tpu.io import synthetic, trajectory  # noqa: E402
+from myslam_tpu.slam import tracking  # noqa: E402
+
+
+def main():
+    n_frames = 60
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            n_frames = int(a)
+
+    cam = synthetic.default_camera()
+    seq = synthetic.FeatureSequence(cam, n_points=3000, feat_cap=512,
+                                    noise_px=0.3, desc_flips=3)
+    cfg = tracking.TrackingConfig(
+        kf_cap=64, pt_cap=8192, feat_cap=512,
+        local_kf=8, local_pts=2048,
+        ba_free=8, ba_fixed=8, ba_pts=2048, ba_obs=8,
+        tri_neighbors=4, max_new_points=256)
+    tr = tracking.Tracker(cam, cfg)
+
+    times = []
+    n_tracked = 0
+    for i in range(n_frames):
+        feats, _ = seq.frame(i)
+        t0 = time.perf_counter()
+        ok = tr.process_frame(feats, i, i * 0.1)
+        times.append(time.perf_counter() - t0)
+        n_tracked += int(ok)
+
+    gt = {i: seq.gt_center(i) for i in range(n_frames)}
+    rmse, n_eval = trajectory.ate_rmse(tr.trajectory, gt)
+    times_steady = sorted(times[len(times) // 2:])
+    med = times_steady[len(times_steady) // 2]
+
+    trajectory.save_tum("Trajectory_synthetic.txt", tr.trajectory)
+    print(f"frames tracked:     {n_tracked}/{n_frames}")
+    print(f"keyframes:          {tr.n_kf}")
+    print(f"map points:         {int(tr.store.pt_valid.sum())}")
+    print(f"median frame time:  {med*1000:.1f} ms")
+    print(f"ATE RMSE:           {rmse*100:.2f} cm over {n_eval} frames")
+    print("trajectory saved to Trajectory_synthetic.txt")
+    bound = 0.12
+    assert rmse < bound, f"ATE {rmse} exceeds bound {bound}"
+    print(f"PASS (ATE < {bound*100:.0f} cm)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Synthetic sequence generation for tests, examples and benchmarks.
+
+The environment has no datasets and no network, so validation follows
+SURVEY.md §4: rendered synthetic sequences with exact ground truth. Two
+flavors:
+
+- `FeatureSequence`: camera trajectory over a 3D point cloud with stable
+  per-point descriptors -> FrameFeatures directly (fast; exercises
+  everything above feature extraction).
+- `ImageSequence`: renders textured images of a fronto-textured world so
+  the full extractor runs too (integration/bench path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..features.frame import FrameFeatures
+from ..geom import se3
+from ..geom.projection import Camera
+
+
+def default_camera(width=640, height=480):
+    return Camera.create(fx=450.0, fy=450.0, cx=width / 2, cy=height / 2,
+                         width=width, height=height)
+
+
+def orbit_pose(i: int, radius: float = 0.0, step: float = 0.02,
+               yaw_rate: float = 0.004):
+    """Sideways-translating trajectory with handheld-style rotational and
+    depth jitter (fr1_xyz-like). The jitter is NOT cosmetic: a pure
+    sideways translation with a fronto-parallel scene is the textbook
+    bas-relief degeneracy — depth and pose trade off along a nearly flat
+    cost mode and monocular BA cannot pin the structure. Real handheld
+    sequences (what the reference is validated on) always carry rotation
+    that breaks this; the synthetic must too."""
+    rx = 0.015 * np.sin(0.37 * i) + 0.01 * np.sin(0.11 * i)     # pitch
+    ry = yaw_rate * i + 0.02 * np.sin(0.23 * i)                  # yaw
+    rz = 0.012 * np.sin(0.31 * i + 1.0)                          # roll
+    cx_, sx_ = np.cos(rx), np.sin(rx)
+    cy_, sy_ = np.cos(ry), np.sin(ry)
+    cz_, sz_ = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx_, -sx_], [0, sx_, cx_]])
+    Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+    Rz = np.array([[cz_, -sz_, 0], [sz_, cz_, 0], [0, 0, 1]])
+    R = (Ry @ Rx @ Rz).astype(np.float32)
+    t = np.array([-step * i, 0.01 * np.sin(0.1 * i),
+                  0.02 * np.sin(0.17 * i)], np.float32)
+    return se3.make(jnp.asarray(R), jnp.asarray(t))
+
+
+class FeatureSequence:
+    """Deterministic synthetic world of N points with 256-bit descriptors;
+    each frame yields FrameFeatures with observation noise + descriptor bit
+    noise, plus ground-truth camera centers for ATE."""
+
+    def __init__(self, cam: Camera, n_points: int = 4000,
+                 feat_cap: int = 1024, noise_px: float = 0.3,
+                 desc_flips: int = 4, seed: int = 0,
+                 pose_fn=orbit_pose):
+        self.cam = cam
+        self.feat_cap = feat_cap
+        self.noise_px = noise_px
+        self.desc_flips = desc_flips
+        self.pose_fn = pose_fn
+        rng = np.random.default_rng(seed)
+        self.rng = rng
+        self.xyz = np.stack([
+            rng.uniform(-4, 4, n_points),
+            rng.uniform(-2.5, 2.5, n_points),
+            rng.uniform(1.5, 4.5, n_points),
+        ], 1).astype(np.float32)
+        self.desc = rng.integers(0, 2**32, (n_points, 8), dtype=np.uint32)
+        # fixed per-point detection priority: the SAME landmarks are
+        # "detected" whenever visible (like stable corners), instead of a
+        # fresh random subset per frame
+        self.priority = rng.uniform(0, 1, n_points)
+
+    def gt_center(self, i: int) -> np.ndarray:
+        return np.asarray(se3.camera_center(self.pose_fn(i)))
+
+    def frame(self, i: int):
+        cam = self.cam
+        T = self.pose_fn(i)
+        pc = np.asarray(se3.transform(T, jnp.asarray(self.xyz)))
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = float(cam.fx) * pc[:, 0] / z + float(cam.cx)
+            v = float(cam.fy) * pc[:, 1] / z + float(cam.cy)
+        vis = (z > 0.5) & (u > 20) & (u < cam.width - 20) \
+            & (v > 20) & (v < cam.height - 20)
+        idx = np.nonzero(vis)[0]
+        idx = idx[np.argsort(self.priority[idx])][: self.feat_cap]
+        idx = np.sort(idx)
+        m = len(idx)
+        F = self.feat_cap
+
+        xy = np.zeros((F, 2), np.float32)
+        xy[:m, 0] = u[idx] + self.rng.normal(0, self.noise_px, m)
+        xy[:m, 1] = v[idx] + self.rng.normal(0, self.noise_px, m)
+        desc = np.zeros((F, 8), np.uint32)
+        desc[:m] = self.desc[idx]
+        if self.desc_flips:
+            for _ in range(self.desc_flips):
+                bit = self.rng.integers(0, 256, m)
+                desc[np.arange(m), bit // 32] ^= (
+                    np.uint32(1) << (bit % 32).astype(np.uint32))
+        valid = np.zeros(F, bool)
+        valid[:m] = True
+        feats = FrameFeatures(
+            xy=jnp.asarray(xy), xy_raw=jnp.asarray(xy),
+            level=jnp.zeros(F, jnp.int32),
+            angle=jnp.zeros(F, jnp.float32),
+            response=jnp.ones(F, jnp.float32),
+            desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid),
+        )
+        gt_ids = np.full(F, -1, np.int64)
+        gt_ids[:m] = idx
+        return feats, gt_ids
+
+
+class ImageSequence:
+    """Renders a textured fronto-parallel world plane and a camera sliding
+    along it — produces [H, W] grayscale images for the full pipeline."""
+
+    def __init__(self, width=640, height=480, n_frames=100,
+                 step_px: float = 3.0, seed: int
+                 = 0):
+        rng = np.random.default_rng(seed)
+        self.step = step_px
+        pad = int(step_px * n_frames) + 64
+        tex = rng.uniform(0, 255, (height + 64, width + pad)).astype(np.float32)
+        # band-limit so descriptors are stable under subpixel shifts
+        from ..ops import image as img_ops
+        self.tex = np.asarray(img_ops.gaussian_blur(
+            jnp.asarray(tex), 7, 1.5))
+        self.width, self.height = width, height
+        self.n_frames = n_frames
+
+    def frame(self, i: int) -> np.ndarray:
+        x0 = int(round(self.step * i))
+        return self.tex[32:32 + self.height, x0:x0 + self.width].copy()
+
+    def gt_center(self, i: int) -> np.ndarray:
+        # planar texture at depth 1 with fx=1px: translation ~ step*i px
+        return np.array([self.step * i, 0.0, 0.0], np.float32)

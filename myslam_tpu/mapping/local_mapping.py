@@ -410,12 +410,16 @@ def apply_local_ba(store: MapStore, prob: ba.BAProblem, inlier,
 
 def local_bundle_adjustment(store: MapStore, cam: Camera, kf_id,
                             k_free: int = 16, k_fixed: int = 16,
-                            p_max: int = 4096, o_max: int = 12):
+                            p_max: int = 4096, o_max: int = 12,
+                            iters1: int = 10, iters2: int = 15):
     """Full local BA pass (Optimizer::LocalBundleAdjustment,
-    src/Optimizer.cc:453-778): assemble -> 5+10 two-phase LM with Schur ->
-    write back + outlier erasure."""
+    src/Optimizer.cc:453-778): assemble -> two-phase LM with Schur ->
+    write back + outlier erasure. Default iteration budget is higher than
+    the reference's 5+10 because the batched LM uses accept/reject steps
+    (a rejected step consumes an iteration where g2o's inner lambda loop
+    retries within one)."""
     prob, kf_slots, pt_slots, e_feat, e_src_kf = build_local_ba(
         store, kf_id, k_free, k_fixed, p_max, o_max)
-    prob, inlier = ba.bundle_adjust(cam, prob)
+    prob, inlier = ba.bundle_adjust(cam, prob, iters1, iters2)
     return apply_local_ba(store, prob, inlier, kf_slots, pt_slots,
                           e_feat, e_src_kf)

@@ -178,6 +178,41 @@ def _apply_step(prob: BAProblem, dpose, dpt):
 
 
 @partial(jax.jit, static_argnames=("iters", "use_huber"))
+def refine_points_only(cam: Camera, prob: BAProblem, iters: int = 3,
+                       use_huber: bool = True):
+    """Point-only Gauss-Newton with poses fixed: independent damped 3x3
+    solves per landmark, all in one batch. Used as a pre-phase of
+    bundle_adjust — freshly triangulated landmarks enter far from their
+    optimum, where the joint LM's accept/reject step can wedge (one bad
+    landmark rejects a step that helps 2000 others). Per-point updates are
+    accepted per-point, so bad landmarks converge independently."""
+    P = prob.pt_xyz.shape[0]
+
+    def step(prob_c, _):
+        e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob_c, use_huber)
+        wJl = Jl * w[:, None, None]
+        Hll = jnp.zeros((P, 3, 3)).at[prob_c.edge_pt].add(
+            jnp.einsum("nij,nik->njk", wJl, Jl))
+        bl = jnp.zeros((P, 3)).at[prob_c.edge_pt].add(
+            -jnp.einsum("nij,ni->nj", wJl, e))
+        dpt = jnp.einsum("pij,pj->pi", _inv3x3(Hll), bl)
+        cand = prob_c._replace(pt_xyz=prob_c.pt_xyz + dpt)
+        # accept per point: compare per-point chi2 sums
+        c_old, _ = edge_chi2_depth(cam, prob_c)
+        c_new, z_new = edge_chi2_depth(cam, cand)
+        val = prob_c.edge_valid
+        old_p = jnp.zeros(P).at[prob_c.edge_pt].add(jnp.where(val, c_old, 0))
+        new_p = jnp.zeros(P).at[prob_c.edge_pt].add(
+            jnp.where(val, jnp.where(z_new > 0, c_new, 1e12), 0))
+        take = (new_p < old_p)[:, None]
+        return prob_c._replace(
+            pt_xyz=jnp.where(take, cand.pt_xyz, prob_c.pt_xyz)), None
+
+    prob_out, _ = jax.lax.scan(step, prob, None, length=iters)
+    return prob_out
+
+
+@partial(jax.jit, static_argnames=("iters", "use_huber"))
 def run_lm(cam: Camera, prob: BAProblem, iters: int, use_huber: bool = True,
            lam0: float = 1e-4):
     """LM loop with accept/reject, fixed iteration count (jit-friendly)."""
@@ -221,15 +256,28 @@ def bundle_adjust(cam: Camera, prob: BAProblem, iters1: int = 5,
     the robust kernel, then flag final outliers.
 
     Returns (problem with refined poses/points, final edge_inlier mask).
+
+    Two deliberate deviations from the reference's gating, needed because a
+    freshly-warped monocular bundle has HIGH-chi2 edges that are exactly the
+    constraints that straighten it (SURVEY.md §7 "hard parts" #3):
+    - the mid-phase drop threshold is loosened (4x) so slow-converging
+      edges survive into phase 2 instead of being deleted at iteration 5;
+    - the final inlier mask is computed against ALL originally-valid edges
+      (reclaiming), so an edge excluded mid-way but consistent with the
+      refined solution is kept as an observation.
     """
+    valid0 = prob.edge_valid
+    prob = refine_points_only(cam, prob, 3, use_huber=True)
     prob = run_lm(cam, prob, iters1, use_huber=True)
+    prob = refine_points_only(cam, prob, 2, use_huber=True)
     chi2, z = edge_chi2_depth(cam, prob)
-    keep = prob.edge_valid & (chi2 <= CHI2_MONO) & (z > 0)
+    keep = valid0 & (chi2 <= 4.0 * CHI2_MONO) & (z > 0)
     prob = prob._replace(edge_valid=keep)
     prob = run_lm(cam, prob, iters2, use_huber=False)
+    prob = refine_points_only(cam, prob, 2, use_huber=False)
     chi2, z = edge_chi2_depth(cam, prob)
-    inlier = prob.edge_valid & (chi2 <= CHI2_MONO) & (z > 0)
-    return prob, inlier
+    inlier = valid0 & (chi2 <= CHI2_MONO) & (z > 0)
+    return prob._replace(edge_valid=valid0), inlier
 
 
 @partial(jax.jit, static_argnames=("iters",))

@@ -1,0 +1,408 @@
+"""Loop detection, Sim3 computation and loop correction.
+
+TPU-native replacement for LoopClosing (reference src/LoopClosing.cc) +
+KeyFrameDatabase::DetectLoopCandidates (src/KeyFrameDatabase.cc:76-197):
+
+- detection: dense BoW score of the new keyframe against EVERY stored
+  keyframe at once (one broadcast L1 tile, matching/vocabulary.py) with the
+  reference's gates (min covisible score, 0.8x shared-word cut), plus the
+  3-consecutive-detection consistency check kept as tiny host state.
+- geometric check: KF-KF descriptor match -> batched Horn Sim3 RANSAC ->
+  guided Sim3 projection match -> Sim3 LM refinement with inlier gates
+  (ComputeSim3, src/LoopClosing.cc:232-401).
+- correction: propagate the corrective Sim3 to the current keyframe's
+  covisible group, re-map their points, fuse duplicates, optimize the
+  Sim3 pose graph over ALL keyframes, then run a (small-map) global BA
+  (CorrectLoop, src/LoopClosing.cc:403-586 + RunGlobalBundleAdjustment
+  :646-750; synchronous here — stages are programs, not threads).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import se3, sim3
+from ..geom.projection import Camera
+from ..mapping import local_mapping, map_store
+from ..mapping.map_store import NO_POINT, MapStore
+from ..matching import matcher, vocabulary
+from ..optim import ba, pose_graph, sim3_opt
+from ..ops import hamming
+from ..solvers import sim3_solver
+
+MIN_MATCHES_BOW = 20     # src/LoopClosing.cc:262
+MIN_INLIERS_SIM3 = 20    # src/LoopClosing.cc:369
+MIN_TOTAL_MATCHES = 40   # src/LoopClosing.cc:389
+
+
+@dataclass
+class LoopState:
+    """Host-side detector state: consistency groups + loop edges."""
+    groups: List[tuple] = field(default_factory=list)  # (set_of_kf, count)
+    loop_edges: List[tuple] = field(default_factory=list)  # (kf_a, kf_b)
+    last_loop_kf: int = -10**9
+
+
+@jax.jit
+def _kf_bow_match(store: MapStore, kf1, kf2):
+    """Descriptor match between two keyframes' point-associated features
+    (ORBmatcher::SearchByBoW(KeyFrame*, KeyFrame*),
+    src/ORBmatcher.cc:522-655 — full masked tile instead of BoW buckets).
+    Returns (idx2 [F], ok [F]) mapping kf1 features -> kf2 features."""
+    obs1 = store.kf_obs[kf1]
+    obs2 = store.kf_obs[kf2]
+    has1 = (obs1 >= 0) & store.pt_valid[jnp.clip(obs1, 0, store.pt_cap - 1)]
+    has2 = (obs2 >= 0) & store.pt_valid[jnp.clip(obs2, 0, store.pt_cap - 1)]
+    d = hamming.hamming_matrix(store.kf_desc[kf1], store.kf_desc[kf2])
+    cand = has1[:, None] & has2[None, :]
+    b1, b2, idx = matcher.masked_best2(d, cand)
+    ok = (
+        (b1 <= matcher.TH_LOW)
+        & (b1.astype(jnp.float32) < 0.75 * b2.astype(jnp.float32))
+        & has1
+    )
+    ok = matcher.one_to_one(idx, b1, ok, store.feat_cap)
+    ok = matcher.rotation_consistency(
+        store.kf_angle[kf1], store.kf_angle[kf2][idx], ok)
+    return idx, ok
+
+
+class LoopCloser:
+    """Synchronous loop-closing pass, invoked per keyframe insertion."""
+
+    def __init__(self, cam: Camera, vocab: vocabulary.Vocabulary,
+                 kf_cap: int, consistency_th: int = 3,
+                 cooldown_kfs: int = 10):
+        self.cam = cam
+        self.vocab = vocab
+        self.db = vocabulary.KeyFrameDatabase.create(
+            kf_cap, vocab.words.shape[0])
+        self.state = LoopState()
+        self.consistency_th = consistency_th
+        self.cooldown_kfs = cooldown_kfs
+        self.rng = jax.random.PRNGKey(1)
+
+    def _next_key(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    # ------------------------------------------------------------------
+    def add_keyframe_bow(self, store: MapStore, kf_id: int):
+        """Compute + store the new keyframe's BoW vector (the database add
+        the reference does at loop-detection time, src/LoopClosing.cc:135)."""
+        words = vocabulary.assign_words(
+            self.vocab, store.kf_desc[kf_id], store.kf_fvalid[kf_id])
+        vec = vocabulary.bow_vector(self.vocab, words,
+                                    store.kf_fvalid[kf_id])
+        self.db = self.db.add(kf_id, vec)
+        return vec
+
+    def detect(self, store: MapStore, kf_id: int, vec) -> Optional[int]:
+        """DetectLoop (src/LoopClosing.cc:104-230). Returns a consistent
+        candidate keyframe id or None."""
+        if int(store.kf_seq[kf_id]) < self.state.last_loop_kf + self.cooldown_kfs:
+            return None
+        W = map_store.covisibility(store)
+        cov_row = np.asarray(W[kf_id])
+        covisible = cov_row >= 15
+        cov_ids = np.nonzero(covisible)[0]
+
+        scores, common = vocabulary.query_database(self.db, vec)
+        scores = np.asarray(scores).copy()
+        common = np.asarray(common).copy()
+
+        # min reference score = lowest BoW score against covisible KFs
+        min_score = min((scores[c] for c in cov_ids), default=0.3)
+        min_score = max(min_score, 0.0)
+
+        # exclude self + covisible neighborhood
+        scores[kf_id] = -1.0
+        scores[cov_ids] = -1.0
+        # also exclude temporally-recent keyframes (the reference excludes
+        # covisible ones; with few KFs recency is the equivalent guard)
+        seqs = np.asarray(store.kf_seq)
+        recent = seqs > int(store.kf_seq[kf_id]) - 5
+        scores[recent] = -1.0
+
+        max_common = common[scores > 0].max() if (scores > 0).any() else 0
+        cand_mask = (scores >= max(min_score, 0.01)) & (
+            common >= 0.8 * max_common) & (scores > 0)
+        cands = set(np.nonzero(cand_mask)[0].tolist())
+        if not cands:
+            self.state.groups = []
+            return None
+
+        # 3-consecutive-KF consistency: a candidate's covisibility group
+        # must intersect a group seen in the previous detections
+        # (src/LoopClosing.cc:169-225)
+        W_np = np.asarray(W)
+        new_groups = []
+        consistent = None
+        for c in sorted(cands):
+            group = set(np.nonzero(W_np[c] >= 15)[0].tolist()) | {c}
+            count = 1
+            for g, n in self.state.groups:
+                if group & g:
+                    count = max(count, n + 1)
+            new_groups.append((group, count))
+            if count >= self.consistency_th and consistent is None:
+                consistent = c
+        self.state.groups = new_groups
+        return consistent
+
+    # ------------------------------------------------------------------
+    def compute_sim3(self, store: MapStore, kf_id: int, cand: int):
+        """ComputeSim3 (src/LoopClosing.cc:232-401). Returns corrective
+        (R, t, s) mapping candidate-camera coords into current-camera
+        coords (S_cur_cand), plus matched point pairs, or None."""
+        idx2, ok = _kf_bow_match(store, kf_id, cand)
+        n = int(ok.sum())
+        if n < MIN_MATCHES_BOW:
+            return None
+
+        obs1 = store.kf_obs[kf_id]
+        obs2 = store.kf_obs[cand]
+        pid1 = jnp.clip(obs1, 0, store.pt_cap - 1)
+        pid2 = jnp.clip(obs2[idx2], 0, store.pt_cap - 1)
+        # camera-frame positions of the matched points
+        p1 = se3.transform(store.kf_pose[kf_id], store.pt_xyz[pid1])
+        p2 = se3.transform(store.kf_pose[cand], store.pt_xyz[pid2])
+        uv1 = store.kf_xy[kf_id]
+        uv2 = store.kf_xy[cand][idx2]
+        s2_1 = store.level_sigma2(store.kf_level[kf_id])
+        s2_2 = store.level_sigma2(store.kf_level[cand][idx2])
+
+        res = sim3_solver.solve_sim3(
+            self.cam, self.cam, p1, p2, uv1, uv2,
+            9.210 * s2_1, 9.210 * s2_2, ok, self._next_key(),
+            min_inliers=MIN_INLIERS_SIM3)
+        if not bool(res.ok):
+            return None
+
+        # refine with paired-projection LM (OptimizeSim3)
+        R, t, s, inlier, n_in = sim3_opt.optimize_sim3(
+            self.cam, self.cam, res.R12, res.t12, res.s12,
+            p1, p2, uv1, uv2, 1.0 / s2_1, 1.0 / s2_2, res.inliers)
+        if int(n_in) < MIN_INLIERS_SIM3:
+            return None
+
+        # guided projection of the loop neighborhood through Scw
+        # (src/LoopClosing.cc:375-400): Scw = S_cur_cand * T_cand_w
+        T_cand = store.kf_pose[cand]
+        Scw_R = R @ se3.rotation(T_cand)
+        Scw_t = s * (R @ se3.translation(T_cand)) + t
+        Scw_s = s
+        # candidate neighborhood points
+        Wc = map_store.covisibility(store)
+        nb = np.nonzero(np.asarray(Wc[cand]) >= 15)[0].tolist() + [cand]
+        nb_pts = np.unique(np.concatenate(
+            [np.asarray(store.kf_obs[k]) for k in nb]))
+        nb_pts = nb_pts[nb_pts >= 0]
+        m = len(nb_pts)
+        if m == 0:
+            return None
+        pad = np.full(max(0, store.feat_cap - m), -1, np.int64)
+        nb_ids = jnp.asarray(np.concatenate([nb_pts[:store.feat_cap], pad]))
+        pidn = jnp.clip(nb_ids, 0, store.pt_cap - 1)
+        feats = local_mapping.kf_features(store, kf_id)
+        idx_p, ok_p = matcher.search_by_projection_sim3(
+            self.cam, Scw_R, Scw_t, Scw_s, feats,
+            store.pt_xyz[pidn], store.pt_desc[pidn], store.pt_normal[pidn],
+            0.8 * store.pt_min_dist[pidn], 1.2 * store.pt_max_dist[pidn],
+            (nb_ids >= 0) & store.pt_valid[pidn],
+            scale=store.scale, n_levels=store.n_levels)
+        total = int(ok_p.sum())
+        if total < MIN_TOTAL_MATCHES:
+            return None
+        return (np.asarray(R), np.asarray(t), float(s))
+
+    # ------------------------------------------------------------------
+    def correct(self, store: MapStore, cam: Camera, kf_id: int, cand: int,
+                S_cur_cand) -> MapStore:
+        """CorrectLoop (src/LoopClosing.cc:403-586): Sim3 correction
+        propagation + pose-graph optimization + global BA."""
+        R12, t12, s12 = S_cur_cand
+        K = store.kf_cap
+        kf_valid = np.asarray(store.kf_valid)
+
+        # --- current Siw (scale 1) for every KF ---
+        Rw = np.asarray(store.kf_pose[:, :, :3]).copy()
+        tw = np.asarray(store.kf_pose[:, :, 3]).copy()
+        sw = np.ones(K, np.float32)
+
+        # corrected Sim3 of the current KF:
+        # S_cur_w(corr) = S_cur_cand * S_cand_w
+        Rc = (R12 @ Rw[cand]).astype(np.float32)
+        tc = (s12 * (R12 @ tw[cand]) + t12).astype(np.float32)
+        sc = np.float32(s12)
+
+        # propagate to the current KF's covisible group via relative poses
+        # (src/LoopClosing.cc:444-474): S_i_w(corr) = S_i_cur * S_cur_w(corr)
+        W = np.asarray(map_store.covisibility(store))
+        group = set(np.nonzero(W[kf_id] >= 15)[0].tolist()) | {kf_id}
+        R_new, t_new, s_new = Rw.copy(), tw.copy(), sw.copy()
+        T_cur = np.concatenate([Rw[kf_id], tw[kf_id][:, None]], 1)
+        for g in group:
+            T_g = np.concatenate([Rw[g], tw[g][:, None]], 1)
+            # T_g_cur = T_g * T_cur^-1
+            R_rel = Rw[g] @ Rw[kf_id].T
+            t_rel = tw[g] - R_rel @ tw[kf_id]
+            R_new[g] = (R_rel @ Rc).astype(np.float32)
+            t_new[g] = (sc * 0 + 1) * (R_rel @ tc) * 1.0
+            # Sim3 compose: S_g_cur (s=1, R_rel, t_rel) ∘ S_cur_w (sc, Rc, tc)
+            t_new[g] = (1.0 * (R_rel @ tc) + t_rel).astype(np.float32)
+            s_new[g] = sc
+
+        # re-map the group's points with old/new Sim3 of their observing KF
+        # (src/LoopClosing.cc:476-510)
+        group_arr = np.array(sorted(group), np.int64)
+        pt_mask = np.zeros(store.pt_cap, bool)
+        for g in group_arr:
+            o = np.asarray(store.kf_obs[g])
+            pt_mask[o[o >= 0]] = True
+        pt_ids = np.nonzero(pt_mask)[0]
+        if len(pt_ids):
+            # use each point's OWN ref kf if in group else current kf
+            ref = np.asarray(store.pt_ref_kf)[pt_ids]
+            ref = np.where(np.isin(ref, group_arr), ref, kf_id)
+            S_old = (jnp.asarray(Rw), jnp.asarray(tw), jnp.asarray(sw))
+            S_new = (jnp.asarray(R_new), jnp.asarray(t_new),
+                     jnp.asarray(s_new))
+            new_xyz = pose_graph.correct_points(
+                jnp.asarray(np.asarray(store.pt_xyz)[pt_ids]),
+                jnp.asarray(ref), S_old, S_new)
+            store = store.replace(
+                pt_xyz=store.pt_xyz.at[jnp.asarray(pt_ids)].set(new_xyz))
+
+        # write corrected SE3 poses for the group: T = [R | t/s]
+        for g in group:
+            T = np.concatenate(
+                [R_new[g], (t_new[g] / s_new[g])[:, None]], 1)
+            store = store.replace(
+                kf_pose=store.kf_pose.at[g].set(jnp.asarray(T)))
+
+        # fuse loop-side points into the current group
+        cand_obs = store.kf_obs[cand]
+        store = local_mapping.fuse_into_keyframe(
+            store, cam, kf_id, cand_obs, cand_obs >= 0)
+
+        # --- essential-graph optimization (src/LoopClosing.cc:568) ---
+        store = self._optimize_essential_graph(
+            store, kf_id, cand, (R_new, t_new, s_new), (Rw, tw, sw), group)
+
+        # --- global BA (src/LoopClosing.cc:580, synchronous) ---
+        store = self._global_ba(store, cam)
+
+        self.state.loop_edges.append((kf_id, cand))
+        self.state.last_loop_kf = int(store.kf_seq[kf_id])
+        return store
+
+    # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, store: MapStore, kf_id, cand,
+                                  S_corr, S_old, group):
+        """Pose graph over all valid KFs: covisibility edges (w>=100),
+        sequential edges, and the new loop edge
+        (Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:781-1044)."""
+        K = store.kf_cap
+        kf_valid = np.asarray(store.kf_valid)
+        R0, t0, s0 = S_corr  # starting estimates: corrected where in group
+        W = np.asarray(map_store.covisibility(store))
+
+        edges_i, edges_j = [], []
+        mR, mt, ms = [], [], []
+
+        def rel_measure(i, j, Ri, ti, si, Rj, tj, sj):
+            """S_ji = S_j_w * S_i_w^-1 using the GIVEN (pre-correction)
+            poses for structural edges."""
+            Sj = (jnp.asarray(Rj), jnp.asarray(tj), jnp.asarray(float(sj)))
+            Si = (jnp.asarray(Ri), jnp.asarray(ti), jnp.asarray(float(si)))
+            S = sim3.compose(Sj, sim3.inverse(Si))
+            return np.asarray(S[0]), np.asarray(S[1]), float(S[2])
+
+        Rw, tw, sw = S_old
+        valid_ids = np.nonzero(kf_valid)[0]
+        seq_order = valid_ids[np.argsort(np.asarray(store.kf_seq)[valid_ids])]
+        # sequential (spanning-tree-like) edges
+        for a, b in zip(seq_order[:-1], seq_order[1:]):
+            edges_i.append(a); edges_j.append(b)
+            r, t_, s_ = rel_measure(a, b, Rw[a], tw[a], 1.0, Rw[b], tw[b], 1.0)
+            mR.append(r); mt.append(t_); ms.append(s_)
+        # strong covisibility edges
+        for a in valid_ids:
+            for b in valid_ids:
+                if b <= a or W[a, b] < 100:
+                    continue
+                edges_i.append(a); edges_j.append(b)
+                r, t_, s_ = rel_measure(a, b, Rw[a], tw[a], 1.0,
+                                        Rw[b], tw[b], 1.0)
+                mR.append(r); mt.append(t_); ms.append(s_)
+        # prior loop edges
+        for a, b in self.state.loop_edges:
+            if kf_valid[a] and kf_valid[b]:
+                edges_i.append(a); edges_j.append(b)
+                r, t_, s_ = rel_measure(a, b, Rw[a], tw[a], 1.0,
+                                        Rw[b], tw[b], 1.0)
+                mR.append(r); mt.append(t_); ms.append(s_)
+        # THE loop edge, measured with the corrected relative transform
+        edges_i.append(cand); edges_j.append(kf_id)
+        r, t_, s_ = rel_measure(cand, kf_id, Rw[cand], tw[cand], 1.0,
+                                R0[kf_id], t0[kf_id], s0[kf_id])
+        mR.append(r); mt.append(t_); ms.append(s_)
+
+        M = len(edges_i)
+        fixed = np.zeros(K, bool)
+        fixed[cand] = True           # loop KF fixed (src/Optimizer.cc:820)
+        fixed[~kf_valid] = True
+
+        prob = pose_graph.PoseGraphProblem(
+            R=jnp.asarray(R0), t=jnp.asarray(t0), s=jnp.asarray(s0),
+            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+            meas_R=jnp.asarray(np.stack(mR).astype(np.float32)),
+            meas_t=jnp.asarray(np.stack(mt).astype(np.float32)),
+            meas_s=jnp.asarray(np.array(ms, np.float32)),
+            edge_valid=jnp.ones(M, bool),
+            fixed=jnp.asarray(fixed),
+        )
+        out = pose_graph.optimize_pose_graph(prob, iters=20)
+
+        # recover SE3 poses T = [R | t/s] and re-map all points via their
+        # reference keyframes (src/Optimizer.cc:1000-1040)
+        S_before = (prob.R, prob.t, prob.s)
+        S_after = (out.R, out.t, out.s)
+        pt_ids = jnp.arange(store.pt_cap)
+        ref = jnp.clip(store.pt_ref_kf, 0, K - 1)
+        ref = jnp.where(store.kf_valid[ref], ref, kf_id)
+        new_xyz = pose_graph.correct_points(store.pt_xyz, ref, S_before,
+                                            S_after)
+        store = store.replace(
+            pt_xyz=jnp.where(store.pt_valid[:, None], new_xyz, store.pt_xyz))
+        T_new = jnp.concatenate(
+            [out.R, (out.t / jnp.maximum(out.s, 1e-9)[:, None])[:, :, None]],
+            axis=2)
+        store = store.replace(
+            kf_pose=jnp.where(store.kf_valid[:, None, None], T_new,
+                              store.kf_pose))
+        return store
+
+    def _global_ba(self, store: MapStore, cam: Camera,
+                   iters: int = 15) -> MapStore:
+        """Whole-map BA (GlobalBundleAdjustemnt, src/Optimizer.cc:41-54).
+        Uses the densest valid KF as anchor via the local-BA builder with
+        capacities covering the full map (adequate at current arena sizes;
+        a CG-based reduced solve replaces this at larger scales)."""
+        kf_valid = np.asarray(store.kf_valid)
+        n_kf = int(kf_valid.sum())
+        if n_kf < 3:
+            return store
+        any_kf = int(np.nonzero(kf_valid)[0][-1])
+        k_cap = min(max(2 * n_kf, 8), 64)
+        return local_mapping.local_bundle_adjustment(
+            store, cam, any_kf, k_free=k_cap, k_fixed=4,
+            p_max=min(store.pt_cap, 8192), o_max=12,
+            iters1=iters, iters2=iters)

@@ -1,0 +1,524 @@
+"""Monocular tracking front end: the per-frame state machine.
+
+TPU-native replacement for Tracking (reference src/Tracking.cc, 1599
+lines): NOT_INITIALIZED -> two-view bootstrap; OK -> motion-model tracking
+(fallback: reference-keyframe tracking) -> local-map tracking -> keyframe
+decision; LOST -> relocalization. Heavy stages are jitted array programs
+over the MapStore; the state machine itself is a small host-side driver
+(the reference runs it on the caller's thread too, include/System.h:158).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..features.frame import FrameFeatures
+from ..geom import se3
+from ..geom.projection import Camera
+from ..mapping import local_mapping, map_store
+from ..mapping.map_store import NO_POINT, MapStore
+from ..matching import matcher
+from ..optim import ba, pose_opt
+from ..solvers import initializer
+
+
+@dataclass
+class TrackingConfig:
+    # map capacities
+    kf_cap: int = 256
+    pt_cap: int = 16384
+    feat_cap: int = 2048
+    # pyramid
+    scale: float = 1.2
+    n_levels: int = 8
+    # thresholds (reference values cited inline where used)
+    min_init_matches: int = 100
+    min_init_points: int = 80
+    min_track_matches: int = 20
+    min_track_inliers: int = 10
+    min_local_inliers: int = 30
+    max_frames_between_kf: int = 30
+    kf_baseline_ratio: float = 0.02  # insert KF after moving 2% of depth
+    # local map scope
+    local_kf: int = 16
+    local_pts: int = 4096
+    # local BA scope
+    ba_free: int = 12
+    ba_fixed: int = 12
+    ba_pts: int = 4096
+    ba_obs: int = 10
+    # mapping
+    tri_neighbors: int = 6
+    max_new_points: int = 512
+
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+@jax.jit
+def _frame_point_data(store: MapStore, obs):
+    """Per-feature point arrays for the current associations [F]."""
+    pid = jnp.clip(obs, 0, store.pt_cap - 1)
+    valid = (obs >= 0) & store.pt_valid[pid]
+    return store.pt_xyz[pid], valid
+
+
+@partial(jax.jit, static_argnames=("th",))
+def _motion_model_match(store: MapStore, cam: Camera, T_pred, feats,
+                        last_obs, last_level, last_angle, th: float = 15.0):
+    """SearchByProjection against last frame's map points
+    (Tracking::TrackWithMotionModel, src/Tracking.cc:877-935, th=15 mono
+    widening handled by the caller retry)."""
+    pid = jnp.clip(last_obs, 0, store.pt_cap - 1)
+    p_valid = (last_obs >= 0) & store.pt_valid[pid]
+    idx, ok = matcher.search_by_projection_frame(
+        cam, T_pred, feats, store.pt_xyz[pid], store.pt_desc[pid],
+        last_level, last_angle, p_valid, th=th,
+        scale=store.scale, n_levels=store.n_levels)
+    # convert point-major (idx: feature per last-slot) to feature-major obs
+    F = feats.capacity
+    f_idx = jnp.where(ok, idx, F)
+    obs = jnp.full(F, NO_POINT, jnp.int32).at[f_idx].set(
+        jnp.where(ok, last_obs, NO_POINT), mode="drop")
+    return obs
+
+
+@jax.jit
+def _reference_kf_match(store: MapStore, cam: Camera, feats, ref_kf):
+    """Descriptor match against the reference keyframe's associated points
+    (Tracking::TrackReferenceKeyFrame, src/Tracking.cc:766-809 — the
+    reference accelerates with BoW nodes; full masked tiles here)."""
+    from ..ops import hamming
+    ref_obs = store.kf_obs[ref_kf]
+    pid = jnp.clip(ref_obs, 0, store.pt_cap - 1)
+    ref_has = (ref_obs >= 0) & store.pt_valid[pid]
+    d = hamming.hamming_matrix(store.kf_desc[ref_kf], feats.desc)
+    cand = ref_has[:, None] & feats.valid[None, :]
+    b1, b2, idx = matcher.masked_best2(d, cand)
+    ok = (
+        (b1 <= matcher.TH_LOW)
+        & (b1.astype(jnp.float32) < 0.7 * b2.astype(jnp.float32))
+        & ref_has
+    )
+    ok = matcher.one_to_one(idx, b1, ok, feats.capacity)
+    ok = matcher.rotation_consistency(
+        store.kf_angle[ref_kf], feats.angle[idx], ok)
+    F = feats.capacity
+    f_idx = jnp.where(ok, idx, F)
+    obs = jnp.full(F, NO_POINT, jnp.int32).at[f_idx].set(
+        jnp.where(ok, ref_obs, NO_POINT), mode="drop")
+    return obs
+
+
+@jax.jit
+def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs):
+    """PoseOptimization on the current associations; drops outlier
+    associations (Tracking.cc:785-807 usage of Optimizer::PoseOptimization)."""
+    xyz, valid = _frame_point_data(store, obs)
+    inv_s2 = 1.0 / store.level_sigma2(feats.level)
+    Tcw, inlier, n = pose_opt.optimize_pose(
+        cam, Tcw0, xyz, feats.xy, inv_s2, valid)
+    obs_out = jnp.where(inlier, obs, NO_POINT)
+    return Tcw, obs_out, n
+
+
+@partial(jax.jit, static_argnames=("k_local", "p_local"))
+def _local_map_harvest(store: MapStore, obs, k_local: int = 16,
+                       p_local: int = 4096):
+    """Local keyframes + local points from the current associations
+    (Tracking::UpdateLocalKeyFrames/UpdateLocalPoints,
+    src/Tracking.cc:1202-1346): KFs voting for current points, plus their
+    best covisible neighbors; points = union of their observations."""
+    B = map_store.incidence(store)                     # [K, P]
+    pid = jnp.clip(obs, 0, store.pt_cap - 1)
+    cur_pts = jnp.zeros(store.pt_cap, bool).at[
+        jnp.where(obs >= 0, pid, store.pt_cap)].set(True, mode="drop")
+    votes = jnp.sum((B & cur_pts[None, :]), axis=1)    # [K]
+    votes = jnp.where(store.kf_valid, votes, -1)
+    _, seed_ids = jax.lax.top_k(votes, min(k_local // 2, store.kf_cap))
+    seed_on = jnp.take(votes, seed_ids) > 0
+
+    # add best covisible neighbors of the seeds
+    W = map_store.covisibility(store)
+    nb_scores = jnp.max(
+        jnp.where(seed_on[:, None], W[seed_ids], -1), axis=0)  # [K]
+    nb_scores = jnp.where(store.kf_valid, nb_scores, -1)
+    combined = jnp.maximum(votes * 1000, nb_scores)    # seeds outrank
+    w, local_ids = jax.lax.top_k(combined, min(k_local, store.kf_cap))
+    local_on = w > 0
+    is_local = jnp.zeros(store.kf_cap, bool).at[
+        jnp.where(local_on, local_ids, store.kf_cap)].set(True, mode="drop")
+
+    pt_mask = jnp.any(B & is_local[:, None], axis=0)
+    pt_mask = pt_mask & ~cur_pts                        # already matched
+    _, pt_ids = jax.lax.top_k(pt_mask.astype(jnp.float32), p_local)
+    pt_on = jnp.take(pt_mask, pt_ids)
+    return jnp.where(pt_on, pt_ids, -1), local_ids, local_on
+
+
+@jax.jit
+def _local_map_match(store: MapStore, cam: Camera, Tcw, feats, obs, pt_ids):
+    """Project unmatched local points and associate to free features
+    (Tracking::SearchLocalPoints + ORBmatcher::SearchByProjection th=1,
+    src/Tracking.cc:1150-1199). Returns (merged obs [F], visible_ids)."""
+    pid = jnp.clip(pt_ids, 0, store.pt_cap - 1)
+    p_valid = (pt_ids >= 0) & store.pt_valid[pid]
+    # only match into features without an association yet
+    free_feat = obs == NO_POINT
+    feats_masked = feats.replace(valid=feats.valid & free_feat)
+    idx, ok, _ = matcher.search_by_projection_map(
+        cam, Tcw, feats_masked, store.pt_xyz[pid], store.pt_desc[pid],
+        store.pt_normal[pid], 0.8 * store.pt_min_dist[pid],
+        1.2 * store.pt_max_dist[pid], p_valid, th=1.0,
+        scale=store.scale, n_levels=store.n_levels)
+    F = feats.capacity
+    f_idx = jnp.where(ok, idx, F)
+    add = jnp.full(F, NO_POINT, jnp.int32).at[f_idx].set(
+        jnp.where(ok, pt_ids, NO_POINT), mode="drop")
+    merged = jnp.where(obs >= 0, obs, add)
+    return merged, jnp.where(ok, pt_ids, -1)
+
+
+class Tracker:
+    """Host-side driver around the jitted tracking stages."""
+
+    def __init__(self, cam: Camera, config: Optional[TrackingConfig] = None):
+        self.cam = cam
+        self.cfg = config or TrackingConfig()
+        self.store = MapStore.create(
+            self.cfg.kf_cap, self.cfg.pt_cap, self.cfg.feat_cap,
+            self.cfg.scale, self.cfg.n_levels)
+        self.state = NOT_INITIALIZED
+        self.Tcw = se3.identity()
+        self.velocity = None          # relative motion T_cur_last
+        self.last_feats: Optional[FrameFeatures] = None
+        self.last_obs = None          # [F] point ids of last frame
+        self.ref_kf = 0
+        self.n_kf = 0
+        self.last_kf_frame = -10**9
+        self.frame_id = -1
+        self.init_feats = None        # first frame of an init attempt
+        self.trajectory = []          # (frame_id, timestamp, Tcw 3x4 np)
+        self.n_last_inliers = 0
+        self.rng = jax.random.PRNGKey(0)  # deterministic like the
+        # reference's SeedRandOnce(0) (src/Initializer.cc:80)
+
+    # ------------------------------------------------------------------
+    def process_frame(self, feats: FrameFeatures, frame_id: int,
+                      timestamp: float = 0.0) -> bool:
+        """One tracking step on already-extracted features.
+        Returns True if the frame was tracked (or initialized)."""
+        self.frame_id = frame_id
+        if self.state == NOT_INITIALIZED:
+            tracked = self._try_initialize(feats, frame_id, timestamp)
+        elif self.state == OK:
+            tracked = self._track(feats, frame_id, timestamp)
+        else:
+            tracked = self._relocalize(feats, frame_id, timestamp)
+        if tracked:
+            self.trajectory.append(
+                (frame_id, timestamp, np.asarray(self.Tcw)))
+        return tracked
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def _try_initialize(self, feats, frame_id, timestamp) -> bool:
+        """Two-view bootstrap (Tracking::MonocularInitialization,
+        src/Tracking.cc:572-746)."""
+        cfg = self.cfg
+        n_feat = int(feats.valid.sum())
+        if self.init_feats is None:
+            if n_feat >= cfg.min_init_matches:
+                self.init_feats = feats
+                self.init_frame = (frame_id, timestamp)
+            return False
+        if n_feat < cfg.min_init_matches:
+            self.init_feats = None
+            return False
+
+        idx2, ok = matcher.search_for_initialization(
+            self.init_feats, feats, window=100, ratio=0.9)
+        n_match = int(ok.sum())
+        if n_match < cfg.min_init_matches:
+            self.init_feats = None
+            return False
+
+        res = initializer.initialize_two_view(
+            self.cam, self.init_feats.xy, feats.xy[idx2], ok,
+            self._next_key())
+        if not bool(res.ok) or int(res.n_good) < cfg.min_init_points:
+            return False
+
+        self._create_initial_map(feats, idx2, res, frame_id, timestamp)
+        return True
+
+    def _create_initial_map(self, feats, idx2, res, frame_id, timestamp):
+        """CreateInitialMapMonocular (src/Tracking.cc:646-746): two KFs,
+        triangulated points, 20-iteration global BA, median-depth
+        normalization."""
+        cfg = self.cfg
+        store = self.store
+        F = feats.capacity
+
+        # KF0 at identity (the init frame), KF1 at T21.
+        obs_empty = jnp.full(F, NO_POINT, jnp.int32)
+        store, k0 = map_store.add_keyframe(
+            store, se3.identity(), self.init_feats, obs_empty,
+            self.init_frame[0], self.init_frame[1])
+        store, k1 = map_store.add_keyframe(
+            store, res.T21, feats, obs_empty, frame_id, timestamp)
+
+        good = res.tri_ok
+        slots = map_store.allocate_points(store, good)
+        # reference KF for new points is the CURRENT keyframe
+        # (src/Tracking.cc:664-668: new MapPoint(..., pKFcur, ...))
+        store = map_store.write_points(
+            store, slots, xyz=res.points,
+            desc=self.init_feats.desc,
+            normal=jnp.zeros((F, 3)), min_dist=jnp.zeros(F),
+            max_dist=jnp.ones(F),
+            ref_kf=jnp.full(F, int(k1), jnp.int32),
+            ref_level=feats.level[idx2],
+            first_kf=jnp.full(F, 1, jnp.int32))  # seq of k1
+        okp = slots >= 0
+        store = map_store.set_observations(
+            store, k0, jnp.arange(F), slots, okp)
+        store = map_store.set_observations(
+            store, k1, idx2, slots, okp)
+        store = map_store.refresh_point_stats(
+            store, jnp.where(okp, slots, -1))
+
+        # global BA over the 2-view problem (GlobalBundleAdjustemnt 20 its,
+        # src/Tracking.cc:695)
+        store = local_mapping.local_bundle_adjustment(
+            store, self.cam, int(k1), k_free=2, k_fixed=2,
+            p_max=cfg.ba_pts, o_max=4)
+
+        # median-depth normalization (src/Tracking.cc:698-722)
+        med = local_mapping.scene_median_depth(store, int(k0))
+        medf = float(med)
+        if medf <= 0:
+            self.store = MapStore.create(
+                cfg.kf_cap, cfg.pt_cap, cfg.feat_cap, cfg.scale, cfg.n_levels)
+            self.init_feats = None
+            return
+        inv = 1.0 / medf
+        new_pose = store.kf_pose.at[:, :, 3].multiply(inv)
+        store = store.replace(
+            kf_pose=new_pose,
+            pt_xyz=jnp.where(store.pt_valid[:, None],
+                             store.pt_xyz * inv, store.pt_xyz))
+        store = map_store.refresh_point_stats(
+            store, jnp.where(okp, slots, -1))
+
+        self.store = store
+        self.state = OK
+        self.Tcw = store.kf_pose[int(k1)]
+        self._last_Tcw = self.Tcw
+        self.velocity = None
+        self.last_feats = feats
+        # last-frame associations = KF1's observations
+        self.last_obs = store.kf_obs[int(k1)]
+        self.ref_kf = int(k1)
+        self.n_kf = 2
+        self.last_kf_frame = frame_id
+        self.init_feats = None
+
+    # ------------------------------------------------------------------
+    def _track(self, feats, frame_id, timestamp) -> bool:
+        cfg = self.cfg
+        tracked = False
+
+        if self.velocity is not None:
+            T_pred = se3.compose(self.velocity, self.Tcw)
+            obs = _motion_model_match(
+                self.store, self.cam, T_pred, feats,
+                self.last_obs, self.last_feats.level, self.last_feats.angle)
+            n_mm = int((obs >= 0).sum())
+            n_last = max(int((self.last_obs >= 0).sum()), 1)
+            if n_mm < max(cfg.min_track_matches, n_last // 2):
+                # widened-window retry (reference doubles th when matches
+                # are scarce, src/Tracking.cc:894-906)
+                obs = _motion_model_match(
+                    self.store, self.cam, T_pred, feats,
+                    self.last_obs, self.last_feats.level,
+                    self.last_feats.angle, th=30.0)
+                n_mm = int((obs >= 0).sum())
+            if n_mm >= cfg.min_track_matches:
+                Tcw, obs, n = _pose_optimize(
+                    self.store, self.cam, T_pred, feats, obs)
+                if int(n) >= cfg.min_track_inliers:
+                    self.Tcw, cur_obs, tracked = Tcw, obs, True
+
+        if not tracked:  # fallback (src/Tracking.cc:319)
+            obs = _reference_kf_match(self.store, self.cam, feats, self.ref_kf)
+            if int((obs >= 0).sum()) >= cfg.min_track_matches // 2:
+                Tcw, obs, n = _pose_optimize(
+                    self.store, self.cam, self.Tcw, feats, obs)
+                if int(n) >= cfg.min_track_inliers:
+                    self.Tcw, cur_obs, tracked = Tcw, obs, True
+
+        if not tracked:
+            self.state = LOST
+            self.velocity = None
+            return False
+
+        # ---- TrackLocalMap (src/Tracking.cc:937-981) ----
+        pt_ids, local_ids, local_on = _local_map_harvest(
+            self.store, cur_obs, cfg.local_kf, cfg.local_pts)
+        cur_obs, visible = _local_map_match(
+            self.store, self.cam, self.Tcw, feats, cur_obs, pt_ids)
+        self.Tcw, cur_obs, n_in = _pose_optimize(
+            self.store, self.cam, self.Tcw, feats, cur_obs)
+        n_inliers = int(n_in)
+        self.n_last_inliers = n_inliers
+        self.store = map_store.bump_counters(
+            self.store, visible, jnp.where(cur_obs >= 0, cur_obs, -1))
+        if n_inliers < cfg.min_local_inliers:
+            self.state = LOST
+            self.velocity = None
+            return False
+
+        # motion model update (src/Tracking.cc:430-438)
+        if self.last_feats is not None:
+            T_last_inv = se3.inverse(self._last_Tcw)
+            self.velocity = se3.compose(self.Tcw, T_last_inv)
+
+        # ---- keyframe decision (src/Tracking.cc:984-1068) ----
+        if self._need_new_keyframe(n_inliers, frame_id):
+            self._insert_keyframe(feats, cur_obs, frame_id, timestamp)
+            # Map surgery (cull -> allocate) REUSES point slots, so ids held
+            # before the insertion may now name different points. The new
+            # keyframe's kf_obs row was kept consistent through every
+            # erase/replace, so it is the authoritative association set
+            # (the pointer-nulling the reference does under mutexes,
+            # e.g. MapPoint::SetBadFlag clearing KeyFrame::mvpMapPoints).
+            cur_obs = self.store.kf_obs[self.ref_kf]
+
+        self._last_Tcw = self.Tcw
+        self.last_feats = feats
+        self.last_obs = cur_obs
+        return True
+
+    def _need_new_keyframe(self, n_inliers, frame_id) -> bool:
+        """Keyframe policy (Tracking::NeedNewKeyFrame,
+        src/Tracking.cc:984-1068 conditions c1a/c1b/c2) plus a
+        baseline-ratio trigger: monocular structure near a small-baseline
+        bundle lives in a nearly flat (bas-relief) mode that only new
+        baseline stiffens, so a KF is also inserted whenever the camera has
+        moved > baseline_ratio of the median scene depth since the last KF
+        — keeping local BA conditioned before the warp exceeds the
+        matching/chi2 gates."""
+        cfg = self.cfg
+        if self.n_kf >= cfg.kf_cap - 2:
+            return False
+        ref_tracked = int((self.store.kf_obs[self.ref_kf] >= 0).sum())
+        c1a = frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
+        c1b = frame_id >= self.last_kf_frame + 1  # mapping is synchronous
+        c2 = (n_inliers < ref_tracked * 0.9) and n_inliers > 15
+        if (c1a or c1b) and c2:
+            return True
+        # baseline criterion
+        base = float(jnp.linalg.norm(
+            se3.camera_center(self.Tcw)
+            - se3.camera_center(self.store.kf_pose[self.ref_kf])))
+        med = float(local_mapping.scene_median_depth(self.store, self.ref_kf))
+        return (frame_id >= self.last_kf_frame + 1 and n_inliers > 15
+                and base > self.cfg.kf_baseline_ratio * max(med, 1e-6))
+
+    def _insert_keyframe(self, feats, obs, frame_id, timestamp):
+        """CreateNewKeyFrame + the local-mapping pass the reference runs on
+        its mapping thread (src/Tracking.cc:1070-1148 +
+        src/LocalMapping.cc:48-113)."""
+        cfg = self.cfg
+        store, kf_id = map_store.add_keyframe(
+            self.store, self.Tcw, feats, obs, frame_id, timestamp)
+        kf_id = int(kf_id)
+        self.n_kf += 1
+        self.ref_kf = kf_id
+        self.last_kf_frame = frame_id
+
+        # ProcessNewKeyFrame: refresh stats of observed points
+        own = store.kf_obs[kf_id]
+        store = map_store.refresh_point_stats(
+            store, jnp.where(own >= 0, own, -1))
+        # MapPointCulling
+        store = local_mapping.cull_points(store, kf_id)
+        # CreateNewMapPoints over best covisible neighbors
+        nb_ids, _ = local_mapping.top_covisible(
+            store, kf_id, cfg.tri_neighbors)
+        nb_list = [int(i) for i in np.asarray(nb_ids)]
+        store = local_mapping.create_new_points(
+            store, self.cam, kf_id, nb_list, cfg.max_new_points)
+        # SearchInNeighbors (fuse)
+        store = local_mapping.search_in_neighbors(
+            store, self.cam, kf_id, nb_list[:3])
+        # Local BA
+        if self.n_kf > 2:
+            store = local_mapping.local_bundle_adjustment(
+                store, self.cam, kf_id, cfg.ba_free, cfg.ba_fixed,
+                cfg.ba_pts, cfg.ba_obs)
+        # KeyFrameCulling — capacity-pressure policy: the redundancy rule
+        # (reference src/LocalMapping.cc:634) exists to bound map size, but
+        # culling early keyframes deletes the LONG-BASELINE observations
+        # that anchor monocular structure (culling an init-era KF re-warps
+        # the map toward the short-baseline subset). So cull only when the
+        # arena is filling: at most ONE per insertion, never the two newest.
+        if self.n_kf > int(0.75 * self.cfg.kf_cap):
+            red = local_mapping.redundant_keyframes(store, kf_id)
+            seqs = np.asarray(store.kf_seq)
+            newest = np.argsort(seqs)[-2:]
+            red_ids = [r for r in np.nonzero(np.asarray(red))[0]
+                       if r not in newest]
+            if red_ids:
+                store = map_store.erase_keyframe(store, int(red_ids[0]))
+                self.n_kf -= 1
+        self.store = store
+        # keep the tracker's pose in sync with the adjusted keyframe
+        self.Tcw = store.kf_pose[kf_id]
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, feats, frame_id, timestamp) -> bool:
+        """Relocalization (Tracking::Relocalization,
+        src/Tracking.cc:1348-1509) — candidate selection by descriptor
+        match against ALL keyframes (the BoW database narrows this in the
+        loop-closing layer; at tracking scale the dense match is one tile),
+        then PnP RANSAC + pose optimization."""
+        from ..solvers import pnp as pnp_solver
+
+        # match against reference keyframe and the best-connected ones
+        best_n, best_obs = 0, None
+        kf_ids = [k for k in range(self.store.kf_cap)
+                  if bool(self.store.kf_valid[k])]
+        for k in kf_ids[-8:]:  # most recent keyframes first
+            obs = _reference_kf_match(self.store, self.cam, feats, k)
+            n = int((obs >= 0).sum())
+            if n > best_n:
+                best_n, best_obs = n, obs
+        if best_obs is None or best_n < 15:
+            return False
+
+        xyz, valid = _frame_point_data(self.store, best_obs)
+        inv_s2 = 1.0 / self.store.level_sigma2(feats.level)
+        res = pnp_solver.solve_pnp(
+            self.cam, xyz, feats.xy, inv_s2, valid, self._next_key())
+        if not bool(res.ok):
+            return False
+        self.Tcw = res.Tcw
+        self._last_Tcw = self.Tcw
+        self.last_feats = feats
+        self.last_obs = jnp.where(res.inliers, best_obs, NO_POINT)
+        self.state = OK
+        self.velocity = None
+        return True
