@@ -1,0 +1,78 @@
+"""Benchmark: end-to-end monocular SLAM frames/s per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The pipeline benched is the reference's per-frame hot path (ORB extraction
+at the production config of slam_cfg/config.yaml — 640x480, 2000 features,
+8 levels — plus motion-model tracking, pose optimization, local-map
+tracking and keyframe mapping; SURVEY.md §3.2). Baseline: the reference's
+upstream-documented ~30 ms/frame tracking on a desktop CPU (BASELINE.md,
+~33 fps).
+
+Runs on whatever platform JAX defaults to (the real TPU chip under the
+driver; pass --cpu to force host CPU).
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+BASELINE_FPS = 33.0  # reference tracking thread, desktop CPU (BASELINE.md)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from myslam_tpu.features.extractor import ORBExtractor
+    from myslam_tpu.features import frame as frame_mod
+    from myslam_tpu.geom.projection import Camera
+    from myslam_tpu.io import synthetic
+    from myslam_tpu.slam import tracking
+
+    n_frames = 40
+    warmup = 12
+
+    # rendered image sequence -> full extractor + tracker path
+    seq = synthetic.ImageSequence(width=640, height=480,
+                                  n_frames=n_frames + 2, step_px=2.0)
+    cam = Camera.create(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                        width=640, height=480)
+    ex = ORBExtractor(480, 640, n_features=2000)
+    cfg = tracking.TrackingConfig(
+        kf_cap=64, pt_cap=16384, feat_cap=ex.capacity,
+        local_kf=8, local_pts=4096,
+        ba_free=8, ba_fixed=8, ba_pts=4096, ba_obs=8,
+        tri_neighbors=4, max_new_points=512,
+        enable_loop_closing=False)
+    tr = tracking.Tracker(cam, cfg)
+
+    times = []
+    for i in range(n_frames):
+        img = jnp.asarray(seq.frame(i))
+        t0 = time.perf_counter()
+        feats = ex(img)
+        feats = frame_mod.undistort(cam, feats)
+        tr.process_frame(feats, i, i / 30.0)
+        jax.block_until_ready(tr.Tcw)
+        times.append(time.perf_counter() - t0)
+
+    steady = sorted(times[warmup:])
+    med = steady[len(steady) // 2]
+    fps = 1.0 / med
+    print(json.dumps({
+        "metric": "slam_tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

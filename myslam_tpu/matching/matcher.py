@@ -219,14 +219,19 @@ def search_for_triangulation(cam: Camera, f1, Tcw1, f2, Tcw2,
     e_uv = e_uv[0]
 
     d = hamming.hamming_matrix(f1.desc, f2.desc)
-    ep_d2 = epipolar.epipolar_dist_sq(F12, f1.xy, f2.xy)  # [N1, N2]
+    # pairwise distances: expand to [N1, 1, 2] x [1, N2, 2] -> [N1, N2]
+    # (epipolar_dist_sq broadcasts; flat inputs would give the diagonal only)
+    ep_d2 = epipolar.epipolar_dist_sq(
+        F12, f1.xy[:, None, :], f2.xy[None, :, :])
     sigma2_2 = jnp.power(jnp.float32(scale * scale),
                          f2.level.astype(jnp.float32))
     ep_ok = ep_d2 < 3.84 * sigma2_2[None, :]
-    # epipole exclusion: candidate too close to the epipole (scale-dependent)
+    # epipole exclusion: candidate too close to the epipole. Reference gate
+    # is dist^2 < 100 * scaleFactor^level (src/ORBmatcher.cc:687-690) — a
+    # 10 px radius at level 0, NOT a 100 px radius.
     de = f2.xy - e_uv[None, :]
     far_from_epipole = (de[:, 0] ** 2 + de[:, 1] ** 2) >= (
-        100.0 * jnp.power(jnp.float32(scale), f2.level.astype(jnp.float32))) ** 2
+        100.0 * jnp.power(jnp.float32(scale), f2.level.astype(jnp.float32)))
 
     cand = (
         ep_ok & far_from_epipole[None, :]

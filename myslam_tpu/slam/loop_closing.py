@@ -246,16 +246,13 @@ class LoopCloser:
         W = np.asarray(map_store.covisibility(store))
         group = set(np.nonzero(W[kf_id] >= 15)[0].tolist()) | {kf_id}
         R_new, t_new, s_new = Rw.copy(), tw.copy(), sw.copy()
-        T_cur = np.concatenate([Rw[kf_id], tw[kf_id][:, None]], 1)
         for g in group:
-            T_g = np.concatenate([Rw[g], tw[g][:, None]], 1)
-            # T_g_cur = T_g * T_cur^-1
+            # relative SE3 S_g_cur (scale 1), then Sim3 compose:
+            # S_g_w(corr) = S_g_cur ∘ S_cur_w(corr)
             R_rel = Rw[g] @ Rw[kf_id].T
             t_rel = tw[g] - R_rel @ tw[kf_id]
             R_new[g] = (R_rel @ Rc).astype(np.float32)
-            t_new[g] = (sc * 0 + 1) * (R_rel @ tc) * 1.0
-            # Sim3 compose: S_g_cur (s=1, R_rel, t_rel) ∘ S_cur_w (sc, Rc, tc)
-            t_new[g] = (1.0 * (R_rel @ tc) + t_rel).astype(np.float32)
+            t_new[g] = (R_rel @ tc + t_rel).astype(np.float32)
             s_new[g] = sc
 
         # re-map the group's points with old/new Sim3 of their observing KF

@@ -56,6 +56,9 @@ class TrackingConfig:
     # mapping
     tri_neighbors: int = 6
     max_new_points: int = 512
+    # loop closing
+    enable_loop_closing: bool = True
+    vocab_words: int = 512
 
 
 NOT_INITIALIZED = 0
@@ -210,6 +213,7 @@ class Tracker:
         self.n_last_inliers = 0
         self.rng = jax.random.PRNGKey(0)  # deterministic like the
         # reference's SeedRandOnce(0) (src/Initializer.cc:80)
+        self.loop_closer = None           # created after initialization
 
     # ------------------------------------------------------------------
     def process_frame(self, feats: FrameFeatures, frame_id: int,
@@ -334,6 +338,25 @@ class Tracker:
         self.n_kf = 2
         self.last_kf_frame = frame_id
         self.init_feats = None
+
+        if self.cfg.enable_loop_closing:
+            self._init_loop_closer()
+
+    def _init_loop_closer(self):
+        """Train the BoW vocabulary from the bootstrap keyframes and build
+        the database (replaces loading the pretrained ORB vocabulary file,
+        reference System.cc:62-76)."""
+        from ..matching import vocabulary
+        from .loop_closing import LoopCloser
+
+        store = self.store
+        descs = jnp.concatenate([store.kf_desc[0], store.kf_desc[1]])
+        valid = jnp.concatenate([store.kf_fvalid[0], store.kf_fvalid[1]])
+        vocab = vocabulary.train_vocabulary(
+            descs, valid, n_words=self.cfg.vocab_words, iters=6)
+        self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap)
+        for k in (0, 1):
+            self.loop_closer.add_keyframe_bow(store, k)
 
     # ------------------------------------------------------------------
     def _track(self, feats, frame_id, timestamp) -> bool:
@@ -483,7 +506,23 @@ class Tracker:
                        if r not in newest]
             if red_ids:
                 store = map_store.erase_keyframe(store, int(red_ids[0]))
+                if self.loop_closer is not None:
+                    self.loop_closer.db = self.loop_closer.db.erase(
+                        int(red_ids[0]))
                 self.n_kf -= 1
+
+        # ---- loop closing (LoopClosing::Run body, synchronous) ----
+        if self.loop_closer is not None:
+            lc = self.loop_closer
+            vec = lc.add_keyframe_bow(store, kf_id)
+            cand = lc.detect(store, kf_id, vec)
+            if cand is not None:
+                S = lc.compute_sim3(store, kf_id, cand)
+                if S is not None:
+                    store = lc.correct(store, self.cam, kf_id, cand, S)
+                    # map moved globally: reset the motion model
+                    self.velocity = None
+
         self.store = store
         # keep the tracker's pose in sync with the adjusted keyframe
         self.Tcw = store.kf_pose[kf_id]
@@ -491,17 +530,28 @@ class Tracker:
     # ------------------------------------------------------------------
     def _relocalize(self, feats, frame_id, timestamp) -> bool:
         """Relocalization (Tracking::Relocalization,
-        src/Tracking.cc:1348-1509) — candidate selection by descriptor
-        match against ALL keyframes (the BoW database narrows this in the
-        loop-closing layer; at tracking scale the dense match is one tile),
+        src/Tracking.cc:1348-1509): BoW-database candidate keyframes
+        (KeyFrameDatabase::DetectRelocalizationCandidates,
+        src/KeyFrameDatabase.cc:199-311), descriptor match per candidate,
         then PnP RANSAC + pose optimization."""
+        from ..matching import vocabulary
         from ..solvers import pnp as pnp_solver
 
-        # match against reference keyframe and the best-connected ones
+        if self.loop_closer is not None:
+            lc = self.loop_closer
+            words = vocabulary.assign_words(lc.vocab, feats.desc, feats.valid)
+            vec = vocabulary.bow_vector(lc.vocab, words, feats.valid)
+            scores, common = vocabulary.query_database(lc.db, vec)
+            cand_ids = np.argsort(np.asarray(scores))[::-1][:8]
+            cand_ids = [int(k) for k in cand_ids
+                        if float(scores[k]) > 0
+                        and bool(self.store.kf_valid[k])]
+        else:
+            cand_ids = [k for k in range(self.store.kf_cap)
+                        if bool(self.store.kf_valid[k])][-8:]
+
         best_n, best_obs = 0, None
-        kf_ids = [k for k in range(self.store.kf_cap)
-                  if bool(self.store.kf_valid[k])]
-        for k in kf_ids[-8:]:  # most recent keyframes first
+        for k in cand_ids:
             obs = _reference_kf_match(self.store, self.cam, feats, k)
             n = int((obs >= 0).sum())
             if n > best_n:

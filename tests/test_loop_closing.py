@@ -1,0 +1,115 @@
+"""Loop closing on a synthetic circular trajectory.
+
+The camera rides a small circle, yawing through a full revolution over a
+ring-shaped point cloud: views are disjoint outside a ~70 deg window, so
+returning to the start is a genuine place-recognition event (milestone M2
+of SURVEY.md §7: loop detection -> Sim3 -> pose graph -> global BA).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from myslam_tpu.geom import se3
+from myslam_tpu.io import synthetic, trajectory
+from myslam_tpu.slam import tracking
+
+
+N_FRAMES = 250
+T_LOOP = 220  # frames per revolution
+
+
+def ring_pose(i: int):
+    """Orbit: camera on a 3 m circle around a central object cluster,
+    always looking AT the cluster (fr2_desk-style). Translation-rich
+    (baseline/depth ~2.5% per frame); content churn comes from viewing-
+    angle culling (point normals), so completing the orbit is a genuine
+    revisit."""
+    a = 2 * np.pi * i / T_LOOP
+    c, s = np.cos(a), np.sin(a)
+    # camera center on the orbit circle (scene center at z=0 world origin)
+    C = np.array([3.0 * s, 0.05 * np.sin(0.3 * i), -3.0 * c], np.float32)
+    # look at the origin: camera world +z axis must be -C/|C| = (-s, 0, c)
+    Rwc = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+    Rcw = Rwc.T
+    t = -Rcw @ C
+    return se3.make(jnp.asarray(Rcw), jnp.asarray(t))
+
+
+class RingScene(synthetic.FeatureSequence):
+    """Central cluster of points; each point carries an outward 'surface
+    normal' so it is only detected from viewpoints within ~75 deg of it
+    (real-world self-occlusion), making the orbit's start a true loop."""
+
+    def __init__(self, cam, **kw):
+        super().__init__(cam, pose_fn=ring_pose, **kw)
+        rng = np.random.default_rng(5)
+        n = self.xyz.shape[0]
+        ang = rng.uniform(0, 2 * np.pi, n)
+        rad = rng.uniform(0.6, 1.6, n)
+        self.xyz = np.stack([
+            rad * np.sin(ang),
+            rng.uniform(-1.0, 1.0, n),
+            -rad * np.cos(ang),
+        ], 1).astype(np.float32)
+        # outward surface normal per point (cylindrical)
+        self.normals = np.stack([
+            np.sin(ang), np.zeros(n), -np.cos(ang)], 1).astype(np.float32)
+
+    def frame(self, i: int):
+        # restrict detection to points facing the camera
+        C = np.asarray(se3.camera_center(self.pose_fn(i)))
+        feats, gt = super().frame(i)
+        # recompute validity with the facing test by masking: points whose
+        # normal faces away from the camera direction are dropped
+        keep = np.ones(len(gt), bool)
+        for j, w in enumerate(gt):
+            if w >= 0:
+                view = C - self.xyz[w]
+                view = view / max(np.linalg.norm(view), 1e-9)
+                if float(view @ self.normals[w]) < 0.25:
+                    keep[j] = False
+        import jax.numpy as jnp
+        feats = feats.replace(valid=feats.valid & jnp.asarray(keep))
+        gt = np.where(keep, gt, -1)
+        return feats, gt
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    cam = synthetic.default_camera()
+    seq = RingScene(cam, n_points=16000, feat_cap=512, noise_px=0.3,
+                    desc_flips=3)
+    cfg = tracking.TrackingConfig(
+        kf_cap=96, pt_cap=16384, feat_cap=512,
+        local_kf=8, local_pts=2048,
+        ba_free=8, ba_fixed=8, ba_pts=2048, ba_obs=8,
+        tri_neighbors=4, max_new_points=256,
+        vocab_words=512)
+    tr = tracking.Tracker(cam, cfg)
+    tracked = []
+    for i in range(N_FRAMES):
+        feats, _ = seq.frame(i)
+        tracked.append(tr.process_frame(feats, i, i * 0.1))
+    return tr, seq, tracked
+
+
+class TestLoopClosing:
+    def test_survives_revolution(self, loop_run):
+        tr, seq, tracked = loop_run
+        first = tracked.index(True)
+        frac = sum(tracked[first:]) / (len(tracked) - first)
+        assert frac > 0.8, frac
+
+    def test_loop_detected_and_closed(self, loop_run):
+        tr, seq, tracked = loop_run
+        assert tr.loop_closer is not None
+        assert len(tr.loop_closer.state.loop_edges) >= 1
+
+    def test_ate_after_loop(self, loop_run):
+        tr, seq, tracked = loop_run
+        gt = {i: seq.gt_center(i) for i in range(N_FRAMES)}
+        rmse, n = trajectory.ate_rmse(tr.trajectory, gt)
+        assert n > 80
+        # full-revolution trajectory (~3.1 m) with a closed loop
+        assert rmse < 0.15, rmse
