@@ -1,0 +1,207 @@
+"""System facade: the user-facing API of the framework.
+
+TPU-native replacement for ORB_SLAM2::System (reference include/System.h,
+src/System.cc): owns the extractor, tracker (with its synchronous mapping
+and loop-closing passes) and exposes TrackMonocular, mode switches, reset,
+trajectory savers — plus SaveMap/LoadMap, which the reference left as a
+TODO (System.h:116-118) and which is trivial here because the map IS a
+pytree of arrays.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..features import frame as frame_mod
+from ..features.extractor import ORBExtractor
+from ..geom.projection import Camera
+from ..io import trajectory as traj_io
+from ..mapping.map_store import MapStore
+from ..utils.config import Settings, load_settings
+from . import tracking
+
+MONOCULAR = 0
+
+
+class System:
+    """Monocular SLAM system.
+
+    Usage mirrors the reference examples (Examples/Monocular/mono_tum.cc):
+        slam = System(settings=Settings(...) or "config.yaml")
+        for img, t in frames:
+            Tcw = slam.track_monocular(img, t)
+        slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
+        slam.shutdown()
+    """
+
+    def __init__(self, settings="", sensor: int = MONOCULAR,
+                 tracking_config: Optional[tracking.TrackingConfig] = None,
+                 use_viewer: bool = False):
+        if isinstance(settings, str) and settings:
+            self.settings = load_settings(settings)
+        elif isinstance(settings, Settings):
+            self.settings = settings
+        else:
+            self.settings = Settings()
+        s = self.settings
+        self.cam = Camera.create(
+            fx=s.fx, fy=s.fy, cx=s.cx, cy=s.cy, k1=s.k1, k2=s.k2,
+            p1=s.p1, p2=s.p2, k3=s.k3, width=s.width, height=s.height)
+        self.extractor = ORBExtractor(
+            s.height, s.width, n_features=s.n_features,
+            n_levels=s.n_levels, scale=s.scale_factor,
+            ini_th_fast=s.ini_th_fast, min_th_fast=s.min_th_fast)
+        cfg = tracking_config or tracking.TrackingConfig(
+            scale=s.scale_factor, n_levels=s.n_levels)
+        if cfg.feat_cap != self.extractor.capacity:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, feat_cap=self.extractor.capacity)
+        self.tracker = tracking.Tracker(self.cam, cfg)
+        self.localization_only = False
+        self._frame_id = 0
+        self.frame_times = []
+        del use_viewer  # headless (reference Viewer is GL-interactive)
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, image, timestamp: float = None):
+        """One tracking step on a [H, W] (or [H, W, 3]) image.
+        Returns the current camera pose Tcw [3, 4] (None before init) —
+        System::TrackMonocular (src/System.cc:219-269)."""
+        t0 = time.perf_counter()
+        img = jnp.asarray(image, jnp.float32)
+        if img.ndim == 3:
+            img = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2])
+        feats = self.extractor(img)
+        feats = frame_mod.undistort(self.cam, feats)
+        if timestamp is None:
+            timestamp = self._frame_id / max(self.settings.fps, 1.0)
+        if self.localization_only:
+            tracked = self._track_localization_only(feats, timestamp)
+        else:
+            tracked = self.tracker.process_frame(
+                feats, self._frame_id, timestamp)
+        self._frame_id += 1
+        self.frame_times.append(time.perf_counter() - t0)
+        return np.asarray(self.tracker.Tcw) if tracked else None
+
+    def track_features(self, feats, timestamp: float = None):
+        """Tracking step on precomputed FrameFeatures (benchmarks/tests)."""
+        if timestamp is None:
+            timestamp = self._frame_id / max(self.settings.fps, 1.0)
+        if self.localization_only:
+            tracked = self._track_localization_only(feats, timestamp)
+        else:
+            tracked = self.tracker.process_frame(
+                feats, self._frame_id, timestamp)
+        self._frame_id += 1
+        return np.asarray(self.tracker.Tcw) if tracked else None
+
+    def _track_localization_only(self, feats, timestamp) -> bool:
+        """Localization mode: track against the frozen map, never insert
+        keyframes or modify the map (System::ActivateLocalizationMode ->
+        Tracking::InformOnlyTracking, src/System.cc:271-281)."""
+        tr = self.tracker
+        insert = tr._insert_keyframe
+        tr._insert_keyframe = lambda *a, **k: None
+        try:
+            ok = tr.process_frame(feats, self._frame_id, timestamp)
+        finally:
+            tr._insert_keyframe = insert
+        return ok
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """Clear map and tracking state (System::Reset -> Tracking::Reset,
+        src/Tracking.cc:1511-1557)."""
+        cfg = self.tracker.cfg
+        self.tracker = tracking.Tracker(self.cam, cfg)
+        self._frame_id = 0
+        self.frame_times = []
+
+    def shutdown(self):
+        """No threads to join in the synchronous design — kept for API
+        parity (System::Shutdown, src/System.cc:302-321)."""
+
+    # ------------------------------------------------------------------
+    def map_changed(self) -> bool:
+        """Monotone map-version check (System::MapChanged via the big-change
+        index, src/System.cc:283-294): here any keyframe insertion bumps
+        next_seq, which is exactly the version counter."""
+        v = int(self.tracker.store.next_seq)
+        changed = v != getattr(self, "_last_map_version", -1)
+        self._last_map_version = v
+        return changed
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.tracker.store.kf_valid.sum())
+
+    @property
+    def n_map_points(self) -> int:
+        return int(self.tracker.store.pt_valid.sum())
+
+    def tracking_stats(self):
+        """Median/mean frame time like the example mains print
+        (mono_tum.cc:112-121)."""
+        if not self.frame_times:
+            return {"median_s": 0.0, "mean_s": 0.0}
+        t = sorted(self.frame_times)
+        return {"median_s": t[len(t) // 2],
+                "mean_s": sum(t) / len(t)}
+
+    # ------------------------------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        """All tracked frames, TUM format (System::SaveTrajectoryTUM,
+        src/System.cc:323-391)."""
+        traj_io.save_tum(path, self.tracker.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe poses only (System::SaveKeyFrameTrajectoryTUM,
+        src/System.cc:393-428)."""
+        store = self.tracker.store
+        kfs = []
+        ids = np.nonzero(np.asarray(store.kf_valid))[0]
+        order = ids[np.argsort(np.asarray(store.kf_seq)[ids])]
+        for k in order:
+            kfs.append((int(store.kf_frame_id[k]),
+                        float(store.kf_timestamp[k]),
+                        np.asarray(store.kf_pose[k])))
+        traj_io.save_tum(path, kfs)
+
+    def save_trajectory_kitti(self, path: str):
+        traj_io.save_kitti(path, self.tracker.trajectory)
+
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """Serialize the whole map — the reference's TODO (System.h:116-118)
+        is one pytree dump here."""
+        store = self.tracker.store
+        arrays = {f: np.asarray(getattr(store, f))
+                  for f in store.__dataclass_fields__
+                  if f not in ("scale", "n_levels")}
+        meta = {"scale": store.scale, "n_levels": store.n_levels}
+        with open(path, "wb") as f:
+            pickle.dump({"arrays": arrays, "meta": meta}, f)
+
+    def load_map(self, path: str):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        arrays = {k: jnp.asarray(v) for k, v in blob["arrays"].items()}
+        store = MapStore(**arrays, **blob["meta"])
+        self.tracker.store = store
+        self.tracker.n_kf = int(store.kf_valid.sum())
+        if self.tracker.n_kf >= 2:
+            self.tracker.state = tracking.LOST  # relocalize into the map

@@ -44,7 +44,9 @@ class TrackingConfig:
     min_track_inliers: int = 10
     min_local_inliers: int = 30
     max_frames_between_kf: int = 30
-    kf_baseline_ratio: float = 0.02  # insert KF after moving 2% of depth
+    min_frames_between_kf: int = 2
+    kf_baseline_ratio: float = 0.05   # insert KF after moving 5% of depth
+    kf_rotation_deg: float = 5.0      # ... or rotating 5 degrees
     # local map scope
     local_kf: int = 16
     local_pts: int = 4096
@@ -446,19 +448,26 @@ class Tracker:
         cfg = self.cfg
         if self.n_kf >= cfg.kf_cap - 2:
             return False
+        if frame_id < self.last_kf_frame + cfg.min_frames_between_kf:
+            return False
+        if n_inliers <= 15:
+            return False
         ref_tracked = int((self.store.kf_obs[self.ref_kf] >= 0).sum())
         c1a = frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
-        c1b = frame_id >= self.last_kf_frame + 1  # mapping is synchronous
-        c2 = (n_inliers < ref_tracked * 0.9) and n_inliers > 15
-        if (c1a or c1b) and c2:
+        c2 = n_inliers < ref_tracked * 0.9
+        if c1a or (c2 and n_inliers < ref_tracked * 0.7):
             return True
-        # baseline criterion
+        # geometric criteria: translation OR rotation since the ref KF
+        T_ref = self.store.kf_pose[self.ref_kf]
         base = float(jnp.linalg.norm(
-            se3.camera_center(self.Tcw)
-            - se3.camera_center(self.store.kf_pose[self.ref_kf])))
+            se3.camera_center(self.Tcw) - se3.camera_center(T_ref)))
         med = float(local_mapping.scene_median_depth(self.store, self.ref_kf))
-        return (frame_id >= self.last_kf_frame + 1 and n_inliers > 15
-                and base > self.cfg.kf_baseline_ratio * max(med, 1e-6))
+        if base > cfg.kf_baseline_ratio * max(med, 1e-6):
+            return True
+        R_rel = se3.rotation(self.Tcw) @ se3.rotation(T_ref).T
+        ang = float(jnp.degrees(jnp.arccos(jnp.clip(
+            (jnp.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0))))
+        return ang > cfg.kf_rotation_deg
 
     def _insert_keyframe(self, feats, obs, frame_id, timestamp):
         """CreateNewKeyFrame + the local-mapping pass the reference runs on

@@ -1,0 +1,81 @@
+"""Config loading: the reference's cv::FileStorage YAML surface.
+
+Parses the same keys as the reference settings files
+(Examples/Monocular/slam_cfg/config.yaml:8-57, read in
+Tracking::Tracking, src/Tracking.cc:57-151): Camera.fx/fy/cx/cy,
+Camera.k1/k2/p1/p2/k3, Camera.fps, Camera.RGB, ORBextractor.nFeatures/
+scaleFactor/nLevels/iniThFAST/minThFAST, Viewer.* (accepted, unused in
+headless mode). OpenCV-style YAML ("%YAML:1.0" header) is handled.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Settings:
+    fx: float = 450.0
+    fy: float = 450.0
+    cx: float = 320.0
+    cy: float = 240.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    fps: float = 30.0
+    rgb: int = 1
+    width: int = 640
+    height: int = 480
+    n_features: int = 2000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    extras: dict = field(default_factory=dict)
+
+
+_KEY_MAP = {
+    "Camera.fx": "fx", "Camera.fy": "fy", "Camera.cx": "cx",
+    "Camera.cy": "cy", "Camera.k1": "k1", "Camera.k2": "k2",
+    "Camera.p1": "p1", "Camera.p2": "p2", "Camera.k3": "k3",
+    "Camera.fps": "fps", "Camera.RGB": "rgb",
+    "Camera.width": "width", "Camera.height": "height",
+    "ORBextractor.nFeatures": "n_features",
+    "ORBextractor.scaleFactor": "scale_factor",
+    "ORBextractor.nLevels": "n_levels",
+    "ORBextractor.iniThFAST": "ini_th_fast",
+    "ORBextractor.minThFAST": "min_th_fast",
+}
+
+_INT_KEYS = {"rgb", "width", "height", "n_features", "n_levels",
+             "ini_th_fast", "min_th_fast"}
+
+
+def load_settings(path: str) -> Settings:
+    """Parse an OpenCV-YAML settings file (flat `key: value` pairs)."""
+    s = Settings()
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            m = re.match(r"^([\w.]+)\s*:\s*(.+)$", line)
+            if not m:
+                continue
+            key, raw = m.group(1), m.group(2).strip().strip('"')
+            if key.startswith("%"):
+                continue
+            try:
+                val = float(raw)
+            except ValueError:
+                s.extras[key] = raw
+                continue
+            attr = _KEY_MAP.get(key)
+            if attr is None:
+                s.extras[key] = val
+            elif attr in _INT_KEYS:
+                setattr(s, attr, int(val))
+            else:
+                setattr(s, attr, val)
+    return s
