@@ -206,8 +206,9 @@ class LoopCloser:
         m = len(nb_pts)
         if m == 0:
             return None
-        pad = np.full(max(0, store.feat_cap - m), -1, np.int64)
-        nb_ids = jnp.asarray(np.concatenate([nb_pts[:store.feat_cap], pad]))
+        cap = 4096
+        pad = np.full(max(0, cap - m), -1, np.int64)
+        nb_ids = jnp.asarray(np.concatenate([nb_pts[:cap], pad]))
         pidn = jnp.clip(nb_ids, 0, store.pt_cap - 1)
         feats = local_mapping.kf_features(store, kf_id)
         idx_p, ok_p = matcher.search_by_projection_sim3(
@@ -216,7 +217,10 @@ class LoopCloser:
             0.8 * store.pt_min_dist[pidn], 1.2 * store.pt_max_dist[pidn],
             (nb_ids >= 0) & store.pt_valid[pidn],
             scale=store.scale, n_levels=store.n_levels)
-        total = int(ok_p.sum())
+        # accept on the TOTAL match count: Sim3 inliers + guided projections
+        # (the reference counts all vpMapPointMatches after SearchByProjection,
+        # src/LoopClosing.cc:376-400)
+        total = int(n_in) + int(ok_p.sum())
         if total < MIN_TOTAL_MATCHES:
             return None
         return (np.asarray(R), np.asarray(t), float(s))

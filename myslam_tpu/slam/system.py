@@ -42,7 +42,8 @@ class System:
 
     def __init__(self, settings="", sensor: int = MONOCULAR,
                  tracking_config: Optional[tracking.TrackingConfig] = None,
-                 use_viewer: bool = False):
+                 use_viewer: bool = False, detector=None,
+                 semantic_filter=None):
         if isinstance(settings, str) and settings:
             self.settings = load_settings(settings)
         elif isinstance(settings, Settings):
@@ -66,20 +67,42 @@ class System:
         self.localization_only = False
         self._frame_id = 0
         self.frame_times = []
+        # semantic fusion (BASELINE config 4): a models.yolo.Yolo (or any
+        # object with .detect(img)->[{class_id, box, ...}]) plus the gating
+        # filter. The reference never wired its detector in (SURVEY.md §0).
+        self.detector = detector
+        if semantic_filter is None and detector is not None:
+            from .semantic import SemanticFilter
+            semantic_filter = SemanticFilter()
+        self.semantic_filter = semantic_filter
         del use_viewer  # headless (reference Viewer is GL-interactive)
 
     # ------------------------------------------------------------------
-    def track_monocular(self, image, timestamp: float = None):
+    def track_monocular(self, image, timestamp: float = None,
+                        detections=None):
         """One tracking step on a [H, W] (or [H, W, 3]) image.
         Returns the current camera pose Tcw [3, 4] (None before init) —
-        System::TrackMonocular (src/System.cc:219-269)."""
+        System::TrackMonocular (src/System.cc:219-269).
+
+        detections: optional precomputed YOLO detections for this frame;
+        if None and a detector is attached, it runs here. Dynamic-class
+        features are masked before tracking and repeat-offender map points
+        culled after (slam/semantic.py)."""
         t0 = time.perf_counter()
         img = jnp.asarray(image, jnp.float32)
         if img.ndim == 3:
-            img = (0.299 * img[..., 0] + 0.587 * img[..., 1]
-                   + 0.114 * img[..., 2])
-        feats = self.extractor(img)
+            gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                    + 0.114 * img[..., 2])
+        else:
+            gray = img
+        if detections is None and self.detector is not None:
+            rgb = img if img.ndim == 3 else jnp.repeat(
+                img[..., None], 3, axis=-1)
+            detections = self.detector.detect(np.asarray(rgb) / 255.0)
+        feats = self.extractor(gray)
         feats = frame_mod.undistort(self.cam, feats)
+        if detections and self.semantic_filter is not None:
+            feats = self.semantic_filter.filter_features(feats, detections)
         if timestamp is None:
             timestamp = self._frame_id / max(self.settings.fps, 1.0)
         if self.localization_only:
@@ -87,6 +110,10 @@ class System:
         else:
             tracked = self.tracker.process_frame(
                 feats, self._frame_id, timestamp)
+        if tracked and detections and self.semantic_filter is not None:
+            self.tracker.store = self.semantic_filter.update_and_cull(
+                self.tracker.store, self.cam, self.tracker.Tcw,
+                self.tracker.last_obs, detections)
         self._frame_id += 1
         self.frame_times.append(time.perf_counter() - t0)
         return np.asarray(self.tracker.Tcw) if tracked else None

@@ -1,0 +1,193 @@
+"""Controlled loop-closure test: drift injected into a known map.
+
+Rather than relying on a full SLAM run to produce a loop (stochastic),
+this builds the exact situation CorrectLoop faces: a keyframe chain whose
+tail has accumulated a known Sim3 drift (scale + translation), a loop
+candidate keyframe at the start, and a database that recognizes it.
+Verifies detect -> compute_sim3 -> correct end to end and that the
+pose-graph + global BA actually remove the drift.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from myslam_tpu.features.frame import FrameFeatures
+from myslam_tpu.geom import se3
+from myslam_tpu.io import synthetic
+from myslam_tpu.mapping import map_store
+from myslam_tpu.slam.loop_closing import LoopCloser
+from myslam_tpu.matching import vocabulary
+
+CAM = synthetic.default_camera()
+F_CAP = 384
+N_WORLD = 2400
+
+
+def circle_pose(k, n_kf=12, radius=3.0):
+    a = 2 * np.pi * k / n_kf
+    c, s = np.cos(a), np.sin(a)
+    C = np.array([radius * s, 0.0, -radius * c], np.float32)
+    Rwc = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+    Rcw = Rwc.T
+    return se3.make(jnp.asarray(Rcw), jnp.asarray(-Rcw @ C))
+
+
+@pytest.fixture(scope="module")
+def drifted_world():
+    """12 keyframes around a circle; the LAST 4 have a growing Sim3 drift
+    (as if scale drifted 6% and translation 0.15 over the loop); KF 11
+    revisits KF 0's view. Points observed by drifted KFs are placed
+    consistently with the drifted poses (that is what tracking would have
+    built)."""
+    rng = np.random.default_rng(7)
+    ang = rng.uniform(0, 2 * np.pi, N_WORLD)
+    rad = rng.uniform(0.6, 1.6, N_WORLD)
+    world = np.stack([rad * np.sin(ang), rng.uniform(-1.0, 1.0, N_WORLD),
+                      -rad * np.cos(ang)], 1).astype(np.float32)
+    normals = np.stack([np.sin(ang), np.zeros(N_WORLD), -np.cos(ang)],
+                       1).astype(np.float32)
+    desc = rng.integers(0, 2**32, (N_WORLD, 8), dtype=np.uint32)
+
+    n_kf = 12
+    store = map_store.MapStore.create(kf_cap=32, pt_cap=8192,
+                                      feat_cap=F_CAP)
+    # drift: Sim3 applied to keyframes 8..11, growing linearly
+    drift_s = {8: 1.015, 9: 1.03, 10: 1.045, 11: 1.06}
+    drift_t = {8: 0.04, 9: 0.08, 10: 0.11, 11: 0.15}
+
+    world_alloc = {}       # world id -> point arena id (pre-drift chain)
+    drift_alloc = {}       # separate arena ids for the drifted tail: real
+    #                        drift means revisited landmarks are duplicated
+    kf_gt = {}
+    for k in range(n_kf):
+        T_true = circle_pose(k, n_kf)
+        C = np.asarray(se3.camera_center(T_true))
+        pc = np.asarray(se3.transform(T_true, jnp.asarray(world)))
+        z = pc[:, 2]
+        with np.errstate(all="ignore"):
+            u = 450 * pc[:, 0] / z + 320
+            v = 450 * pc[:, 1] / z + 240
+        view = C[None] - world
+        view /= np.linalg.norm(view, axis=1, keepdims=True)
+        vis = ((z > 0.5) & (u > 20) & (u < 620) & (v > 20) & (v < 460)
+               & ((view * normals).sum(1) > 0.25))
+        ids = np.nonzero(vis)[0][:F_CAP]
+        m = len(ids)
+
+        # drifted pose for tail keyframes: T_drift = [R | s*t + dt]
+        R = np.asarray(se3.rotation(T_true))
+        t = np.asarray(se3.translation(T_true))
+        if k in drift_s:
+            t = drift_s[k] * t + np.array([drift_t[k], 0, 0], np.float32)
+        T_stored = se3.make(jnp.asarray(R), jnp.asarray(t))
+
+        xy = np.zeros((F_CAP, 2), np.float32)
+        xy[:m, 0] = u[ids] + rng.normal(0, 0.2, m)
+        xy[:m, 1] = v[ids] + rng.normal(0, 0.2, m)
+        dd = np.zeros((F_CAP, 8), np.uint32)
+        dd[:m] = desc[ids]
+        valid = np.zeros(F_CAP, bool)
+        valid[:m] = True
+        feats = FrameFeatures(
+            xy=jnp.asarray(xy), xy_raw=jnp.asarray(xy),
+            level=jnp.zeros(F_CAP, jnp.int32),
+            angle=jnp.zeros(F_CAP, jnp.float32),
+            response=jnp.ones(F_CAP, jnp.float32),
+            desc=jnp.asarray(dd), valid=jnp.asarray(valid))
+        obs = np.full(F_CAP, -1, np.int32)
+        store, kid = map_store.add_keyframe(
+            store, T_stored, feats, jnp.asarray(obs), k, k * 1.0)
+        kf_gt[int(kid)] = T_true
+
+        # allocate/associate points; drifted KFs use positions backprojected
+        # through their drifted poses (self-consistent local geometry) and
+        # allocate FRESH points — real drift means the revisited landmarks
+        # were not re-recognized, so the map holds duplicates (exactly what
+        # CorrectLoop's fuse step exists to merge)
+        alloc = drift_alloc if k in drift_s else world_alloc
+        new_mask = np.array([w not in alloc for w in ids])
+        n_new = int(new_mask.sum())
+        if n_new:
+            want = jnp.asarray(new_mask)
+            slots = map_store.allocate_points(store, want)
+            if k in drift_s:
+                # drifted local structure: backproject through the drifted
+                # pose at SCALED depths — scale drift shrinks the local map
+                # by drift_s, which is what the corrective Sim3 must recover
+                T_inv = se3.inverse(T_stored)
+                xyz_new = np.asarray(se3.transform(
+                    T_inv, jnp.asarray(pc[ids] / drift_s[k])))
+            else:
+                xyz_new = world[ids]
+            store = map_store.write_points(
+                store, slots, xyz=jnp.asarray(xyz_new),
+                desc=jnp.asarray(desc[ids]),
+                normal=jnp.zeros((m, 3)), min_dist=jnp.full(m, 0.5),
+                max_dist=jnp.full(m, 6.0),
+                ref_kf=jnp.full(m, int(kid), jnp.int32),
+                ref_level=jnp.zeros(m, jnp.int32),
+                first_kf=jnp.full(m, k, jnp.int32))
+            sl = np.asarray(slots)
+            for j, w in enumerate(ids):
+                if new_mask[j] and sl[j] >= 0:
+                    alloc[w] = int(sl[j])
+        pt_idx = np.array([alloc.get(w, -1) for w in ids], np.int32)
+        store = map_store.set_observations(
+            store, kid, jnp.arange(F_CAP),
+            jnp.asarray(np.pad(pt_idx, (0, F_CAP - m), constant_values=-1)),
+            jnp.asarray(np.pad(pt_idx >= 0, (0, F_CAP - m))))
+
+    store = map_store.refresh_point_stats(
+        store, jnp.arange(store.pt_cap), o_max=8)
+    return store, kf_gt, desc
+
+
+class TestLoopPipeline:
+    @pytest.fixture(scope="class")
+    def closer(self, drifted_world):
+        store, kf_gt, desc = drifted_world
+        voc = vocabulary.train_vocabulary(
+            jnp.asarray(desc[:2000]), n_words=1024, iters=5)
+        lc = LoopCloser(CAM, voc, kf_cap=store.kf_cap, cooldown_kfs=0)
+        for k in range(12):
+            lc.add_keyframe_bow(store, k)
+        return lc
+
+    def test_detect_revisit(self, drifted_world, closer):
+        store, kf_gt, desc = drifted_world
+        vec = closer.db.bow[11]
+        closer.state.groups = [({0, 1}, 2)]  # consistency warm (2 priors)
+        cand = closer.detect(store, 11, vec)
+        assert cand is not None
+        assert cand in (0, 1, 2)  # the revisited start of the circle
+
+    def test_sim3_recovers_drift(self, drifted_world, closer):
+        store, kf_gt, desc = drifted_world
+        S = closer.compute_sim3(store, 11, 0)
+        assert S is not None
+        R12, t12, s12 = S
+        # drift scale was 1.06 at KF 11: corrective Sim3 carries ~1/1.06
+        assert 0.90 < s12 < 0.99, s12
+
+    def test_correct_reduces_pose_error(self, drifted_world, closer):
+        store, kf_gt, desc = drifted_world
+
+        def kf_err(st):
+            errs = []
+            for k, T_true in kf_gt.items():
+                if not bool(st.kf_valid[k]):
+                    continue
+                c_est = np.asarray(se3.camera_center(st.kf_pose[k]))
+                c_true = np.asarray(se3.camera_center(T_true))
+                errs.append(np.linalg.norm(c_est - c_true))
+            return np.median(errs), np.max(errs)
+
+        med0, max0 = kf_err(store)
+        S = closer.compute_sim3(store, 11, 0)
+        assert S is not None
+        store2 = closer.correct(store, CAM, 11, 0, S)
+        med1, max1 = kf_err(store2)
+        assert max1 < 0.6 * max0, (max0, max1)
+        assert len(closer.state.loop_edges) == 1
