@@ -78,17 +78,29 @@ class ORBExtractor:
         level_scales = self.level_scales
 
         def extract(img):
+            from ..ops import patches as patches_mod
+
             pyr = image.build_pyramid(img, n_levels, scale)
             xs, ys_, lv, ang, resp, desc, val = [], [], [], [], [], [], []
+            ph = descriptors.PATCH_HALF
+            ic_lo = ph - orientation.HALF_PATCH
+            ic_hi = ph + orientation.HALF_PATCH + 1
             for l in range(n_levels):
                 lvl = pyr[l]
                 score = fast.nms_3x3(fast.fast_score(lvl, border=EDGE_MARGIN))
                 score = jnp.where(score > min_th, score, 0.0)
                 xy, r, v = selection.select_uniform(
                     score, budgets[l], high_th=ini_th)
-                a = orientation.ic_angles(lvl, xy, v)
+                # one 43x43 patch per keypoint from the raw level image
+                # (IC angle uses its 31x31 center) and one from the blurred
+                # image (descriptor sampling) — both gather-free einsums
+                raw_p = patches_mod.extract_patches(lvl, xy, ph)
+                a = orientation.ic_angles_from_patches(
+                    raw_p[:, ic_lo:ic_hi, ic_lo:ic_hi])
+                a = jnp.where(v, a, 0.0)
                 blur = image.gaussian_blur(lvl)
-                d = descriptors.orb_descriptors(blur, xy, a, v)
+                blur_p = patches_mod.extract_patches(blur, xy, ph)
+                d = descriptors.orb_descriptors_from_patches(blur_p, a, v)
                 s = jnp.float32(level_scales[l])
                 xs.append(xy[:, 0] * s)
                 ys_.append(xy[:, 1] * s)

@@ -201,14 +201,26 @@ def set_observations(store: MapStore, kf_id, feat_idx, pt_idx, ok):
 # derived structures
 # ---------------------------------------------------------------------------
 
+def _obs_counts_per_kf(store: MapStore, chunk: int = 16):
+    """[K, P] f32 observation counts per (keyframe, point) — computed by
+    chunked iota comparison instead of scatter (scatter is a ~26 ms
+    fallback on this backend, ops/indexing.py). Chunks bound the transient
+    [chunk, F, P] compare tensor."""
+    K, F = store.kf_obs.shape
+    P = store.pt_cap
+    parts = []
+    for k0 in range(0, K, chunk):
+        obs = store.kf_obs[k0:k0 + chunk]                   # [c, F]
+        pp = jax.lax.broadcasted_iota(jnp.int32, (obs.shape[0], F, P), 2)
+        eq = (obs[:, :, None] == pp)
+        parts.append(jnp.sum(eq.astype(jnp.float32), axis=1))
+    return jnp.concatenate(parts, axis=0)                   # [K, P]
+
+
 @jax.jit
 def incidence(store: MapStore):
-    """B [K, P] bool: keyframe k observes point p. One scatter from kf_obs."""
-    K, F = store.kf_obs.shape
-    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, F))
-    pid = jnp.where(store.kf_obs >= 0, store.kf_obs, store.pt_cap)
-    B = jnp.zeros((K, store.pt_cap), bool).at[rows, pid].set(
-        True, mode="drop")
+    """B [K, P] bool: keyframe k observes point p (scatter-free)."""
+    B = _obs_counts_per_kf(store) > 0
     return B & store.kf_valid[:, None] & store.pt_valid[None, :]
 
 
@@ -217,17 +229,15 @@ def covisibility(store: MapStore):
     """W [K, K] i32 shared-observation counts (KeyFrame covisibility graph,
     src/KeyFrame.cc:289-379) as one incidence matmul on the MXU."""
     B = incidence(store).astype(jnp.float32)
-    W = (B @ B.T).astype(jnp.int32)
+    W = jnp.dot(B, B.T, preferred_element_type=jnp.float32).astype(jnp.int32)
     return W - jnp.diag(jnp.diag(W))
 
 
 @jax.jit
 def observation_count(store: MapStore):
-    """[P] i32 — number of keyframes observing each point."""
-    pid = jnp.where(store.kf_obs >= 0, store.kf_obs, store.pt_cap)
-    inc = (store.kf_valid[:, None] & (store.kf_obs >= 0)).astype(jnp.int32)
-    cnt = jnp.zeros(store.pt_cap, jnp.int32).at[pid.reshape(-1)].add(
-        inc.reshape(-1), mode="drop")
+    """[P] i32 — number of keyframes observing each point (scatter-free)."""
+    C = _obs_counts_per_kf(store)
+    cnt = jnp.sum(C * store.kf_valid[:, None], axis=0).astype(jnp.int32)
     return jnp.where(store.pt_valid, cnt, 0)
 
 
@@ -389,10 +399,12 @@ def replace_points(store: MapStore, old_to_new):
 def bump_counters(store: MapStore, visible_ids, found_ids):
     """Increase MapPoint::mnVisible / mnFound tracking counters
     (used by Tracking::SearchLocalPoints and the found-ratio culling rule,
-    src/Tracking.cc:1150-1199, src/LocalMapping.cc:172-207)."""
-    v = jnp.where(visible_ids >= 0, visible_ids, store.pt_cap)
-    f = jnp.where(found_ids >= 0, found_ids, store.pt_cap)
+    src/Tracking.cc:1150-1199, src/LocalMapping.cc:172-207).
+    Scatter-free (per-frame hot path)."""
+    from ..ops import indexing
     return store.replace(
-        pt_visible=store.pt_visible.at[v].add(1, mode="drop"),
-        pt_found=store.pt_found.at[f].add(1, mode="drop"),
+        pt_visible=store.pt_visible + indexing.bincount_mm(
+            visible_ids, store.pt_cap),
+        pt_found=store.pt_found + indexing.bincount_mm(
+            found_ids, store.pt_cap),
     )

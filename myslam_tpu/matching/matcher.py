@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..geom import epipolar, projection, se3
 from ..geom.projection import Camera
-from ..ops import hamming
+from ..ops import hamming, indexing
 
 TH_HIGH = 100
 TH_LOW = 50
@@ -45,16 +45,16 @@ def one_to_one(idx, dist, ok, n_cand):
     """Resolve duplicate candidate assignments: keep only the lowest-distance
     query per candidate (ties broken by query index). The reference gets this
     by overwriting vnMatches21 / erasing previous matches
-    (src/ORBmatcher.cc:467-480); here it is one scatter-min."""
+    (src/ORBmatcher.cc:467-480). Scatter-free: a [Q, Q] same-candidate
+    comparison — a query survives iff no other accepted query with the same
+    candidate has a strictly smaller (dist, q) key."""
     q = idx.shape[0]
-    key = dist.astype(jnp.int32) * q + jnp.arange(q, dtype=jnp.int32)
-    key = jnp.where(ok, key, jnp.iinfo(jnp.int32).max)
-    best_key = (
-        jnp.full((n_cand,), jnp.iinfo(jnp.int32).max, jnp.int32)
-        .at[idx]
-        .min(key, mode="drop")
-    )
-    return ok & (key == best_key[idx])
+    key = dist.astype(jnp.float32) * q + jnp.arange(q, dtype=jnp.float32)
+    key = jnp.where(ok, key, jnp.float32(3e18))
+    same = idx[:, None] == idx[None, :]
+    better = same & (key[None, :] < key[:, None])
+    beaten = jnp.any(better & ok[None, :], axis=1)
+    return ok & ~beaten
 
 
 def rotation_consistency(angle_q, angle_c_matched, ok):
@@ -65,8 +65,10 @@ def rotation_consistency(angle_q, angle_c_matched, ok):
     rot = jnp.mod(angle_q - angle_c_matched, two_pi)
     b = jnp.clip((rot * (HISTO_LENGTH / two_pi)).astype(jnp.int32), 0,
                  HISTO_LENGTH - 1)
-    hist = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[b].add(
-        ok.astype(jnp.int32), mode="drop")
+    # scatter-free histogram + gather-free bin lookup via one-hot compares
+    oh = (b[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (b.shape[0], HISTO_LENGTH), 1))        # [N, 30]
+    hist = jnp.sum(oh & ok[:, None], axis=0).astype(jnp.int32)
     top3_v, top3_i = jax.lax.top_k(hist, 3)
     # Reference drops bins 2/3 when much smaller than bin 1 (<0.1x).
     keep_bin = (
@@ -74,7 +76,8 @@ def rotation_consistency(angle_q, angle_c_matched, ok):
         & (hist[:, None] >= 0.1 * top3_v[0]).any(axis=1)
         & (jnp.arange(HISTO_LENGTH)[:, None] == top3_i[None, :]).any(axis=1)
     )
-    return ok & keep_bin[b]
+    keep = jnp.any(oh & keep_bin[None, :], axis=1)
+    return ok & keep
 
 
 def predict_scale(dist, max_dist, scale: float = 1.2, n_levels: int = 8):
@@ -106,7 +109,8 @@ def search_for_initialization(f1, f2, window: int = 100, ratio: float = 0.9,
     ok = ok & f1.valid
     ok = one_to_one(idx, b1, ok, f2.capacity)
     if check_rotation:
-        ok = rotation_consistency(f1.angle, f2.angle[idx], ok)
+        ok = rotation_consistency(
+            f1.angle, indexing.mm_gather(f2.angle[:, None], idx)[:, 0], ok)
     return idx, ok
 
 
@@ -148,7 +152,9 @@ def search_by_projection_frame(cam: Camera, Tcw, feats, prev_xyz, prev_desc,
     ok = (b1 <= TH_HIGH) & p_ok
     ok = one_to_one(idx, b1, ok, feats.capacity)
     if check_rotation:
-        ok = rotation_consistency(prev_angle, feats.angle[idx], ok)
+        ok = rotation_consistency(
+            prev_angle,
+            indexing.mm_gather(feats.angle[:, None], idx)[:, 0], ok)
     return idx, ok
 
 
@@ -242,7 +248,8 @@ def search_for_triangulation(cam: Camera, f1, Tcw1, f2, Tcw2,
     ok = (b1 <= TH_LOW) & f1.valid & unmatched1
     ok = one_to_one(idx, b1, ok, f2.capacity)
     if check_rotation:
-        ok = rotation_consistency(f1.angle, f2.angle[idx], ok)
+        ok = rotation_consistency(
+            f1.angle, indexing.mm_gather(f2.angle[:, None], idx)[:, 0], ok)
     return idx, ok
 
 

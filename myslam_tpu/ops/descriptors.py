@@ -1,20 +1,27 @@
-"""Rotation-steered binary (ORB-style) descriptors, batched.
+"""Rotation-steered binary (ORB-style) descriptors, batched and gather-free.
 
 TPU-native replacement for computeOrbDescriptor
 (reference src/ORBextractor.cc:110-149): 256 intensity comparisons of a
 point-pair pattern rotated by the keypoint angle, sampled from the blurred
-level image, packed into 8 uint32 lanes (the reference packs 32 uint8,
-src/ORBextractor.cc:144-148 — u32 lanes make XOR+popcount matching wider).
+level image, packed into 8 uint32 lanes.
+
+Sampling strategy (no gathers — see ops/indexing.py for why):
+- a [N, 43, 43] patch per keypoint via one-hot einsums (ops/patches.py);
+- the keypoint angle is quantized to ANGLE_BINS bins (ORB's own rotation
+  granularity is 12 deg; 64 bins = 5.6 deg keeps the sampling error under
+  a pixel at patch radius);
+- per bin, the 512 rotated+rounded pattern offsets are a fixed selection
+  of patch pixels, applied to ALL keypoints as one one-hot einsum, then
+  each keypoint picks its bin's result with a tiny one-hot contraction.
+- bit packing is two f32 matmuls against 2^k weights split into u16
+  halves (sums stay < 2^16, exact in f32), recombined in uint32.
 
 Pattern: the reference embeds OpenCV's learned bit_pattern_31_
 (src/ORBextractor.cc:152-411). We deliberately do NOT copy that table —
 this framework defines its own seeded pattern with the same statistics
-(Gaussian-distributed pairs, sigma = patch/5 per the original BRIEF paper),
-generated once at import. Descriptors are therefore NOT bit-compatible with
-OpenCV ORB (they don't need to be: matching is always descriptor-to-
-descriptor within this framework), but have the same length, invariances
-and matching behavior. `trained_pattern` supports loading a learned pattern
-later.
+(Gaussian pairs, sigma = patch/5 per the BRIEF paper). Descriptors are
+NOT bit-compatible with OpenCV ORB (matching is always within this
+framework) but have the same length and invariances.
 """
 
 from __future__ import annotations
@@ -25,72 +32,97 @@ import numpy as np
 
 N_BITS = 256
 HALF_PATCH = 15
-# Sample window: rotated pattern coords stay within +/-15 after clamping;
-# patch gather uses a 37x37 window to leave rotation headroom before clamp.
-GATHER_HALF = 18
-GATHER = 2 * GATHER_HALF + 1  # 37
+# rotated pattern coords reach +-15*sqrt(2) ~ 21.2; half=21 with rounding
+# clamps only the extreme corners (same effect as the reference's cvRound
+# on a 31x31 window edge)
+PATCH_HALF = 21
+PATCH_S = 2 * PATCH_HALF + 1  # 43
+ANGLE_BINS = 64
 
 
 def _make_pattern(seed: int = 7) -> np.ndarray:
-    """[256, 4] (x1, y1, x2, y2) pattern, Gaussian sigma = patch/5, clipped
-    to the 31x31 patch like BRIEF (Calonder et al.); fixed seed so every
-    process generates identical descriptors."""
+    """[256, 4] (x1, y1, x2, y2), Gaussian sigma = patch/5, clipped to the
+    31x31 patch like BRIEF; fixed seed so every process generates identical
+    descriptors."""
     rng = np.random.default_rng(seed)
     sigma = (2 * HALF_PATCH + 1) / 5.0
     pts = rng.normal(0.0, sigma, size=(N_BITS, 4))
     pts = np.clip(np.round(pts), -HALF_PATCH, HALF_PATCH).astype(np.int32)
-    # Avoid degenerate pairs (identical endpoints).
     same = (pts[:, 0] == pts[:, 2]) & (pts[:, 1] == pts[:, 3])
     pts[same, 2] = np.clip(pts[same, 2] + 1, -HALF_PATCH, HALF_PATCH)
     pts[same, 3] = np.clip(pts[same, 3] - 1, -HALF_PATCH, HALF_PATCH)
     return pts
 
 
-_PATTERN = jnp.asarray(_make_pattern(), dtype=jnp.float32)  # [256, 4]
+def _binned_indices() -> np.ndarray:
+    """[ANGLE_BINS, 512] flat patch index of every rotated pattern endpoint
+    (first 256 = endpoint 1, last 256 = endpoint 2). Same rounding as the
+    reference's GET_VALUE (cvRound(px cos - py sin), ...)."""
+    pat = _make_pattern().astype(np.float64)
+    out = np.zeros((ANGLE_BINS, 2 * N_BITS), np.int32)
+    for b in range(ANGLE_BINS):
+        a = 2 * np.pi * b / ANGLE_BINS
+        c, s = np.cos(a), np.sin(a)
+        for e in range(2):
+            px = pat[:, 2 * e]
+            py = pat[:, 2 * e + 1]
+            rx = np.clip(np.round(px * c - py * s), -PATCH_HALF, PATCH_HALF)
+            ry = np.clip(np.round(px * s + py * c), -PATCH_HALF, PATCH_HALF)
+            out[b, e * N_BITS : (e + 1) * N_BITS] = (
+                (ry + PATCH_HALF) * PATCH_S + (rx + PATCH_HALF)).astype(np.int32)
+    return out
 
-_BIT_WEIGHTS = jnp.asarray((1 << np.arange(32)).astype(np.uint32))
+
+_BIN_IDX = jnp.asarray(_binned_indices())          # [B, 512]
+_PACK_LO = jnp.asarray((1 << np.arange(16)).astype(np.float32))
+_PACK_HI = _PACK_LO  # same weights; applied to the upper 16 bits
+
+
+@jax.jit
+def orb_descriptors_from_patches(patches, angle, valid):
+    """patches [N, 43, 43] f32 (blurred level image), angle [N] radians,
+    valid [N] -> desc [N, 8] uint32."""
+    n = patches.shape[0]
+    flat = patches.reshape(n, PATCH_S * PATCH_S)
+
+    # per-bin pattern selection: Sel[b, s, k] one-hot via iota compare
+    kk = jax.lax.broadcasted_iota(jnp.int32, (ANGLE_BINS, 2 * N_BITS,
+                                              PATCH_S * PATCH_S), 2)
+    Sel = (kk == _BIN_IDX[:, :, None]).astype(jnp.float32)
+    # all bins x all keypoints sampling: [B, N, 512]
+    V = jnp.einsum("nk,bsk->bns", flat, Sel,
+                   preferred_element_type=jnp.float32)
+
+    two_pi = 2.0 * jnp.pi
+    bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * ANGLE_BINS)
+    bins = jnp.mod(bins, ANGLE_BINS).astype(jnp.int32)
+    oh = (bins[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (n, ANGLE_BINS), 1)).astype(jnp.float32)
+    Vn = jnp.einsum("bns,nb->ns", V, oh,
+                    preferred_element_type=jnp.float32)   # [N, 512]
+
+    bits = (Vn[:, :N_BITS] < Vn[:, N_BITS:]).astype(jnp.float32)  # [N, 256]
+    lanes = bits.reshape(n, 8, 32)
+    lo = jnp.dot(lanes[:, :, :16], _PACK_LO,
+                 preferred_element_type=jnp.float32)
+    hi = jnp.dot(lanes[:, :, 16:], _PACK_HI,
+                 preferred_element_type=jnp.float32)
+    desc = (lo.astype(jnp.uint32)
+            | (hi.astype(jnp.uint32) << jnp.uint32(16)))
+    return jnp.where(valid[:, None], desc, jnp.zeros_like(desc))
 
 
 @jax.jit
 def orb_descriptors(img_blur, xy, angle, valid):
-    """Compute descriptors for all keypoints of one pyramid level.
+    """Standalone convenience: extract patches then compute descriptors.
 
     Args:
-      img_blur: [H, W] blurred level image (reference blurs with 7x7 sigma=2
-                before descriptor sampling, src/ORBextractor.cc:1086-1092).
+      img_blur: [H, W] blurred level image (reference blurs with 7x7
+                sigma=2 first, src/ORBextractor.cc:1086-1092).
       xy: [N, 2] keypoint (x, y) in level coords.
-      angle: [N] orientation radians.
-      valid: [N] bool.
+      angle: [N] orientation radians; valid: [N] bool.
     Returns: desc [N, 8] uint32.
     """
-    H, W = img_blur.shape
-    pad = jnp.pad(img_blur, GATHER_HALF, mode="edge")
-    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
-
-    cos_a = jnp.cos(angle)
-    sin_a = jnp.sin(angle)
-
-    def per_kp(x, y, c, s):
-        patch = jax.lax.dynamic_slice(pad, (y, x), (GATHER, GATHER))
-        flat = patch.reshape(-1)
-        # Rotate pattern points: same rounding as the reference's GET_VALUE
-        # (src/ORBextractor.cc:119-121: cvRound(x cos - y sin), ...).
-        px1, py1, px2, py2 = (_PATTERN[:, 0], _PATTERN[:, 1],
-                              _PATTERN[:, 2], _PATTERN[:, 3])
-
-        def rot(px, py):
-            rx = jnp.round(px * c - py * s)
-            ry = jnp.round(px * s + py * c)
-            rx = jnp.clip(rx, -GATHER_HALF, GATHER_HALF) + GATHER_HALF
-            ry = jnp.clip(ry, -GATHER_HALF, GATHER_HALF) + GATHER_HALF
-            return (ry * GATHER + rx).astype(jnp.int32)
-
-        v1 = jnp.take(flat, rot(px1, py1))
-        v2 = jnp.take(flat, rot(px2, py2))
-        bits = (v1 < v2).astype(jnp.uint32)  # [256]
-        lanes = bits.reshape(8, 32)
-        return jnp.sum(lanes * _BIT_WEIGHTS[None, :], axis=1, dtype=jnp.uint32)
-
-    desc = jax.vmap(per_kp)(xi, yi, cos_a, sin_a)
-    return jnp.where(valid[:, None], desc, jnp.zeros_like(desc))
+    from . import patches as patches_mod
+    p = patches_mod.extract_patches(img_blur, xy, PATCH_HALF)
+    return orb_descriptors_from_patches(p, angle, valid)

@@ -26,16 +26,23 @@ def gaussian_kernel_1d(size: int = 7, sigma: float = 2.0):
 
 
 def _sep_conv2d(img, k1d):
-    """Separable 2D convolution with reflect padding, [H, W] f32."""
-    pad = (k1d.shape[0] - 1) // 2
-    x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
-    x = x[None, None]  # NCHW
-    kh = k1d.reshape(1, 1, -1, 1)
-    kw = k1d.reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
-    return x[0, 0]
+    """Separable 2D convolution with reflect padding, [H, W] f32.
+
+    Implemented as static-shift multiply-adds (pure VPU elementwise work)
+    instead of conv_general_dilated: single-channel convs lower poorly on
+    the TPU backend (measured ~2 ms + 11 s compile vs fused shifts)."""
+    k = int(k1d.shape[0])
+    pad = (k - 1) // 2
+    H, W = img.shape
+    x = jnp.pad(img, ((0, 0), (pad, pad)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        out = out + k1d[i] * jax.lax.slice(x, (0, i), (H, i + W))
+    x = jnp.pad(out, ((pad, pad), (0, 0)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        out = out + k1d[i] * jax.lax.slice(x, (i, 0), (i + H, W))
+    return out
 
 
 def gaussian_blur(img, size: int = 7, sigma: float = 2.0):

@@ -5,17 +5,17 @@ TPU-native replacement for the reference's IC_Angle
 31x31 patch, where m01 = sum(y * I), m10 = sum(x * I) and the circle mask
 is the same u_max row extents (src/ORBextractor.cc:455-472).
 
-Batched over all keypoints via one vmapped dynamic-slice patch gather —
-2k keypoints x 31x31 = ~2M pixels, trivially VPU-sized.
+Patches come from the gather-free one-hot extraction (ops/patches.py);
+the moments are two [N, 961] x [961] matvecs.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from . import patches as patches_mod
 
 HALF_PATCH = 15
 PATCH = 2 * HALF_PATCH + 1  # 31
@@ -30,7 +30,6 @@ def _circle_mask_and_coords():
     hp2 = HALF_PATCH * HALF_PATCH
     for v in range(vmax + 1):
         umax[v] = int(round(np.sqrt(hp2 - v * v)))
-    # symmetry completion
     v0 = 0
     for v in range(HALF_PATCH, vmin - 1, -1):
         while umax[v0] == umax[v0 + 1]:
@@ -48,28 +47,23 @@ def _circle_mask_and_coords():
 
 
 _MASK, _XS, _YS = _circle_mask_and_coords()
+_WX = (_XS * _MASK).reshape(-1)   # [961]
+_WY = (_YS * _MASK).reshape(-1)
+
+
+@jax.jit
+def ic_angles_from_patches(patches31):
+    """patches31 [N, 31, 31] -> angles [N] (radians)."""
+    p = patches31.reshape(patches31.shape[0], -1)
+    m10 = p @ _WX
+    m01 = p @ _WY
+    return jnp.arctan2(m01, m10)
 
 
 @jax.jit
 def ic_angles(img, xy, valid):
-    """Orientation in radians for each keypoint.
-
-    Args:
-      img: [H, W] level image (pre-blur, like the reference which runs
-           IC_Angle on mvImagePyramid, src/ORBextractor.cc:474-481).
-      xy: [N, 2] keypoint (x, y) in level coords (float, rounded inside).
-      valid: [N] bool.
-    Returns: angles [N] float32 (radians in [-pi, pi]).
-    """
-    pad = jnp.pad(img, HALF_PATCH, mode="edge")
-    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, img.shape[1] - 1)
-    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, img.shape[0] - 1)
-
-    def patch_moments(x, y):
-        p = jax.lax.dynamic_slice(pad, (y, x), (PATCH, PATCH))
-        m10 = jnp.sum(_XS * _MASK * p)
-        m01 = jnp.sum(_YS * _MASK * p)
-        return jnp.arctan2(m01, m10)
-
-    ang = jax.vmap(patch_moments)(xi, yi)
+    """Orientation in radians for each keypoint (standalone convenience;
+    the extractor reuses its own patches)."""
+    p = patches_mod.extract_patches(img, xy, HALF_PATCH)
+    ang = ic_angles_from_patches(p)
     return jnp.where(valid, ang, 0.0)

@@ -1,0 +1,49 @@
+"""Gather-free square patch extraction around keypoints.
+
+The TPU backend's gather is a fixed ~26 ms fallback (see ops/indexing.py),
+so per-keypoint patch reads — the core of orientation and descriptor
+computation — are formulated as two one-hot einsums:
+
+    Rows[n, dy, w] = sum_h 1[h == y_n + dy - half] * img[h, w]
+    P[n, dy, dx]   = sum_w Rows[n, dy, w] * 1[w == x_n + dx - half]
+
+Each output pixel is selected by exactly one 1.0 weight, so the result is
+BIT-EXACT f32 — this is a gather executed on the MXU. Cost for 436
+keypoints, 43x43 patches on a 480x640 level: ~7 GFLOP f32, well under a
+millisecond.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("half",))
+def extract_patches(img, xy, half: int):
+    """img [H, W] f32; xy [N, 2] (x, y) float -> patches [N, S, S] f32 with
+    S = 2*half+1, centered at round(xy), clamped to the image border
+    (edge-padding semantics via index clamping)."""
+    H, W = img.shape
+    S = 2 * half + 1
+    n = xy.shape[0]
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
+
+    # row selector U[n, h, d] = 1 iff h == clamp(yi - half + d)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (n, H, S), 1)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (n, H, S), 2)
+    want_h = jnp.clip(yi[:, None, None] - half + dd, 0, H - 1)
+    U = (hh == want_h).astype(jnp.float32)
+    rows = jnp.einsum("nhd,hw->ndw", U, img,
+                      preferred_element_type=jnp.float32)
+
+    ww = jax.lax.broadcasted_iota(jnp.int32, (n, W, S), 1)
+    ee = jax.lax.broadcasted_iota(jnp.int32, (n, W, S), 2)
+    want_w = jnp.clip(xi[:, None, None] - half + ee, 0, W - 1)
+    V = (ww == want_w).astype(jnp.float32)
+    patches = jnp.einsum("ndw,nwe->nde", rows, V,
+                         preferred_element_type=jnp.float32)
+    return patches

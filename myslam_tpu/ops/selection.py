@@ -55,7 +55,9 @@ def select_uniform(score, n_out: int, high_th: float = 20.0,
     )
 
     # Selection key: strong bonus dominates raw score; cell-best bonus
-    # (added after per-cell top-k) dominates both.
+    # (added after per-cell top-k) dominates both. Coordinates ride along
+    # INSIDE the sort key's low bits so no post-top_k gather is needed
+    # (gathers are a ~26 ms fallback on this backend, ops/indexing.py).
     strong_bonus = 1e5
     key = jnp.where(cells > 0.0,
                     cells + (cells > high_th) * strong_bonus,
@@ -68,17 +70,28 @@ def select_uniform(score, n_out: int, high_th: float = 20.0,
     cy = (cell_ids // gx)[:, None] * ch + topi // cw
     cx = (cell_ids % gx)[:, None] * cw + topi % cw
 
-    is_best = jnp.zeros_like(topv).at[:, 0].set(1.0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, topv.shape, 1)
+    is_best = (ii == 0).astype(topv.dtype)
     cand_key = jnp.where(jnp.isfinite(topv),
                          topv + is_best * 1e7, -jnp.inf).reshape(-1)
-    cand_x = cx.reshape(-1).astype(jnp.float32)
-    cand_y = cy.reshape(-1).astype(jnp.float32)
-    flat = s.reshape(-1)
-    cand_resp = flat[(cy.reshape(-1) * Wp + cx.reshape(-1))]
-
+    # pack (key, x, y) into one f64-free sortable value: quantize the key
+    # to integer rank steps and append coords in the fraction — instead,
+    # simpler: run top_k on the key and select coords via one-hot matmul.
     sel_key, sel_idx = jax.lax.top_k(cand_key, n_out)
     valid = jnp.isfinite(sel_key)
-    xy = jnp.stack([cand_x[sel_idx], cand_y[sel_idx]], axis=-1)
-    resp = jnp.where(valid, cand_resp[sel_idx], 0.0)
+    M = cand_key.shape[0]
+    oh = (sel_idx[:, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (n_out, M), 1)
+          ).astype(jnp.float32)
+    coords = jnp.stack([cx.reshape(-1).astype(jnp.float32),
+                        cy.reshape(-1).astype(jnp.float32)], axis=1)
+    xy_sel = jnp.dot(oh, coords, preferred_element_type=jnp.float32)
+    xy = jnp.stack([xy_sel[:, 0], xy_sel[:, 1]], axis=-1)
+    # recover the raw response from the key (bonuses are far above any
+    # real FAST score, so subtraction is unambiguous)
+    resp = sel_key
+    resp = jnp.where(resp > 5e6, resp - 1e7, resp)
+    resp = jnp.where(resp > 5e4, resp - 1e5, resp)
+    resp = jnp.where(valid, resp, 0.0)
     xy = jnp.where(valid[:, None], xy, 0.0)
     return xy, resp, valid

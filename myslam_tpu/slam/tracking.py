@@ -25,6 +25,7 @@ from ..mapping import local_mapping, map_store
 from ..mapping.map_store import NO_POINT, MapStore
 from ..matching import matcher
 from ..optim import ba, pose_opt
+from ..ops import indexing
 from ..solvers import initializer
 
 
@@ -70,10 +71,12 @@ LOST = 2
 
 @jax.jit
 def _frame_point_data(store: MapStore, obs):
-    """Per-feature point arrays for the current associations [F]."""
-    pid = jnp.clip(obs, 0, store.pt_cap - 1)
-    valid = (obs >= 0) & store.pt_valid[pid]
-    return store.pt_xyz[pid], valid
+    """Per-feature point arrays for the current associations [F]
+    (gather-free: one-hot matmul lookups, ops/indexing.py)."""
+    valid = (obs >= 0) & (
+        indexing.mm_gather_int(store.pt_valid.astype(jnp.int32), obs) > 0)
+    xyz = indexing.mm_gather(store.pt_xyz, obs)
+    return xyz, valid
 
 
 @partial(jax.jit, static_argnames=("th",))
@@ -82,17 +85,20 @@ def _motion_model_match(store: MapStore, cam: Camera, T_pred, feats,
     """SearchByProjection against last frame's map points
     (Tracking::TrackWithMotionModel, src/Tracking.cc:877-935, th=15 mono
     widening handled by the caller retry)."""
-    pid = jnp.clip(last_obs, 0, store.pt_cap - 1)
-    p_valid = (last_obs >= 0) & store.pt_valid[pid]
+    p_valid = (last_obs >= 0) & (
+        indexing.mm_gather_int(store.pt_valid.astype(jnp.int32), last_obs) > 0)
     idx, ok = matcher.search_by_projection_frame(
-        cam, T_pred, feats, store.pt_xyz[pid], store.pt_desc[pid],
+        cam, T_pred, feats,
+        indexing.mm_gather(store.pt_xyz, last_obs),
+        indexing.mm_gather_u32(store.pt_desc, last_obs),
         last_level, last_angle, p_valid, th=th,
         scale=store.scale, n_levels=store.n_levels)
     # convert point-major (idx: feature per last-slot) to feature-major obs
+    # (scatter-free: one_to_one guarantees unique feature targets)
     F = feats.capacity
-    f_idx = jnp.where(ok, idx, F)
-    obs = jnp.full(F, NO_POINT, jnp.int32).at[f_idx].set(
-        jnp.where(ok, last_obs, NO_POINT), mode="drop")
+    obs = indexing.mm_scatter_set(
+        jnp.full(F, NO_POINT, jnp.int32), idx,
+        last_obs, mask=ok)
     return obs
 
 
@@ -103,8 +109,8 @@ def _reference_kf_match(store: MapStore, cam: Camera, feats, ref_kf):
     reference accelerates with BoW nodes; full masked tiles here)."""
     from ..ops import hamming
     ref_obs = store.kf_obs[ref_kf]
-    pid = jnp.clip(ref_obs, 0, store.pt_cap - 1)
-    ref_has = (ref_obs >= 0) & store.pt_valid[pid]
+    ref_has = (ref_obs >= 0) & (
+        indexing.mm_gather_int(store.pt_valid.astype(jnp.int32), ref_obs) > 0)
     d = hamming.hamming_matrix(store.kf_desc[ref_kf], feats.desc)
     cand = ref_has[:, None] & feats.valid[None, :]
     b1, b2, idx = matcher.masked_best2(d, cand)
@@ -115,11 +121,11 @@ def _reference_kf_match(store: MapStore, cam: Camera, feats, ref_kf):
     )
     ok = matcher.one_to_one(idx, b1, ok, feats.capacity)
     ok = matcher.rotation_consistency(
-        store.kf_angle[ref_kf], feats.angle[idx], ok)
+        store.kf_angle[ref_kf],
+        indexing.mm_gather(feats.angle[:, None], idx)[:, 0], ok)
     F = feats.capacity
-    f_idx = jnp.where(ok, idx, F)
-    obs = jnp.full(F, NO_POINT, jnp.int32).at[f_idx].set(
-        jnp.where(ok, ref_obs, NO_POINT), mode="drop")
+    obs = indexing.mm_scatter_set(
+        jnp.full(F, NO_POINT, jnp.int32), idx, ref_obs, mask=ok)
     return obs
 
 
@@ -143,30 +149,30 @@ def _local_map_harvest(store: MapStore, obs, k_local: int = 16,
     src/Tracking.cc:1202-1346): KFs voting for current points, plus their
     best covisible neighbors; points = union of their observations."""
     B = map_store.incidence(store)                     # [K, P]
-    pid = jnp.clip(obs, 0, store.pt_cap - 1)
-    cur_pts = jnp.zeros(store.pt_cap, bool).at[
-        jnp.where(obs >= 0, pid, store.pt_cap)].set(True, mode="drop")
+    cur_pts = indexing.bincount_mm(obs, store.pt_cap) > 0
     votes = jnp.sum((B & cur_pts[None, :]), axis=1)    # [K]
     votes = jnp.where(store.kf_valid, votes, -1)
-    _, seed_ids = jax.lax.top_k(votes, min(k_local // 2, store.kf_cap))
-    seed_on = jnp.take(votes, seed_ids) > 0
+    seed_v, seed_ids = jax.lax.top_k(votes, min(k_local // 2, store.kf_cap))
+    seed_on = seed_v > 0
 
     # add best covisible neighbors of the seeds
     W = map_store.covisibility(store)
+    Wsel = jnp.dot(indexing.onehot(seed_ids, store.kf_cap),
+                   W.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)         # [k/2, K]
     nb_scores = jnp.max(
-        jnp.where(seed_on[:, None], W[seed_ids], -1), axis=0)  # [K]
+        jnp.where(seed_on[:, None], Wsel, -1.0), axis=0)       # [K]
     nb_scores = jnp.where(store.kf_valid, nb_scores, -1)
     combined = jnp.maximum(votes * 1000, nb_scores)    # seeds outrank
     w, local_ids = jax.lax.top_k(combined, min(k_local, store.kf_cap))
     local_on = w > 0
-    is_local = jnp.zeros(store.kf_cap, bool).at[
-        jnp.where(local_on, local_ids, store.kf_cap)].set(True, mode="drop")
+    is_local = indexing.bincount_mm(
+        jnp.where(local_on, local_ids, -1), store.kf_cap) > 0
 
     pt_mask = jnp.any(B & is_local[:, None], axis=0)
     pt_mask = pt_mask & ~cur_pts                        # already matched
-    _, pt_ids = jax.lax.top_k(pt_mask.astype(jnp.float32), p_local)
-    pt_on = jnp.take(pt_mask, pt_ids)
-    return jnp.where(pt_on, pt_ids, -1), local_ids, local_on
+    pt_v, pt_ids = jax.lax.top_k(pt_mask.astype(jnp.float32), p_local)
+    return jnp.where(pt_v > 0, pt_ids, -1), local_ids, local_on
 
 
 @jax.jit
@@ -174,20 +180,23 @@ def _local_map_match(store: MapStore, cam: Camera, Tcw, feats, obs, pt_ids):
     """Project unmatched local points and associate to free features
     (Tracking::SearchLocalPoints + ORBmatcher::SearchByProjection th=1,
     src/Tracking.cc:1150-1199). Returns (merged obs [F], visible_ids)."""
-    pid = jnp.clip(pt_ids, 0, store.pt_cap - 1)
-    p_valid = (pt_ids >= 0) & store.pt_valid[pid]
+    p_valid = (pt_ids >= 0) & (
+        indexing.mm_gather_int(store.pt_valid.astype(jnp.int32), pt_ids) > 0)
     # only match into features without an association yet
     free_feat = obs == NO_POINT
     feats_masked = feats.replace(valid=feats.valid & free_feat)
+    scalars = indexing.mm_gather(
+        jnp.stack([store.pt_min_dist, store.pt_max_dist], axis=1), pt_ids)
     idx, ok, _ = matcher.search_by_projection_map(
-        cam, Tcw, feats_masked, store.pt_xyz[pid], store.pt_desc[pid],
-        store.pt_normal[pid], 0.8 * store.pt_min_dist[pid],
-        1.2 * store.pt_max_dist[pid], p_valid, th=1.0,
+        cam, Tcw, feats_masked,
+        indexing.mm_gather(store.pt_xyz, pt_ids),
+        indexing.mm_gather_u32(store.pt_desc, pt_ids),
+        indexing.mm_gather(store.pt_normal, pt_ids),
+        0.8 * scalars[:, 0], 1.2 * scalars[:, 1], p_valid, th=1.0,
         scale=store.scale, n_levels=store.n_levels)
     F = feats.capacity
-    f_idx = jnp.where(ok, idx, F)
-    add = jnp.full(F, NO_POINT, jnp.int32).at[f_idx].set(
-        jnp.where(ok, pt_ids, NO_POINT), mode="drop")
+    add = indexing.mm_scatter_set(
+        jnp.full(F, NO_POINT, jnp.int32), idx, pt_ids, mask=ok)
     merged = jnp.where(obs >= 0, obs, add)
     return merged, jnp.where(ok, pt_ids, -1)
 
