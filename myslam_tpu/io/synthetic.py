@@ -58,12 +58,15 @@ class FeatureSequence:
     def __init__(self, cam: Camera, n_points: int = 4000,
                  feat_cap: int = 1024, noise_px: float = 0.3,
                  desc_flips: int = 4, seed: int = 0,
-                 pose_fn=orbit_pose):
+                 pose_fn=orbit_pose, bf: float = 0.0,
+                 depth_noise: float = 0.0):
         self.cam = cam
         self.feat_cap = feat_cap
         self.noise_px = noise_px
         self.desc_flips = desc_flips
         self.pose_fn = pose_fn
+        self.bf = bf                  # > 0: emit stereo u_right/depth
+        self.depth_noise = depth_noise
         rng = np.random.default_rng(seed)
         self.rng = rng
         self.xyz = np.stack([
@@ -108,6 +111,23 @@ class FeatureSequence:
                     np.uint32(1) << (bit % 32).astype(np.uint32))
         valid = np.zeros(F, bool)
         valid[:m] = True
+        u_right = depth = None
+        if self.bf > 0:
+            # The right-image column is its OWN measurement with noise
+            # independent of the left keypoint (as in real rectified
+            # stereo); depth is derived from the measured disparity like
+            # Frame::ComputeStereoMatches (src/Frame.cc:629-640). Using
+            # correlated noise here (ur = u_noisy - bf/z) makes the pose
+            # cost land in a spurious nearby local minimum — see
+            # tests/test_tracking_stereo.py.
+            ur_clean = u[idx] - self.bf / np.maximum(z[idx], 1e-6)
+            sig = self.depth_noise if self.depth_noise else self.noise_px
+            dd = np.full(F, -1.0, np.float32)
+            rr = np.full(F, -1.0, np.float32)
+            rr[:m] = ur_clean + self.rng.normal(0, sig, m)
+            disp = np.maximum(xy[:m, 0] - rr[:m], 0.01)
+            dd[:m] = self.bf / disp
+            u_right, depth = jnp.asarray(rr), jnp.asarray(dd)
         feats = FrameFeatures(
             xy=jnp.asarray(xy), xy_raw=jnp.asarray(xy),
             level=jnp.zeros(F, jnp.int32),
@@ -115,6 +135,8 @@ class FeatureSequence:
             response=jnp.ones(F, jnp.float32),
             desc=jnp.asarray(desc),
             valid=jnp.asarray(valid),
+            u_right=u_right,
+            depth=depth,
         )
         gt_ids = np.full(F, -1, np.int64)
         gt_ids[:m] = idx

@@ -305,9 +305,11 @@ def redundant_keyframes(store: MapStore, protect_id, scale_margin: int = 1):
 # local bundle adjustment assembly
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k_free", "k_fixed", "p_max", "o_max"))
+@partial(jax.jit,
+         static_argnames=("k_free", "k_fixed", "p_max", "o_max", "stereo"))
 def build_local_ba(store: MapStore, kf_id, k_free: int = 16,
-                   k_fixed: int = 16, p_max: int = 4096, o_max: int = 12):
+                   k_fixed: int = 16, p_max: int = 4096, o_max: int = 12,
+                   stereo: bool = False, bf: float = 0.0):
     """Assemble a compact BAProblem around keyframe kf_id
     (Optimizer::LocalBundleAdjustment problem construction,
     src/Optimizer.cc:456-534): free = kf_id + best covisible KFs (capped at
@@ -370,6 +372,10 @@ def build_local_ba(store: MapStore, kf_id, k_free: int = 16,
     e_valid = e_ok.reshape(E)
     e_feat = fc.reshape(E)
     e_src_kf = jnp.clip(obs_kf, 0, K - 1).reshape(E)
+    # stereo observations become 3D edges (g2o EdgeStereoSE3ProjectXYZ,
+    # src/Optimizer.cc:570-607)
+    e_ur = (store.kf_ur[jnp.clip(obs_kf, 0, K - 1), fc].reshape(E)
+            if stereo else None)
 
     prob = ba.BAProblem(
         kf_pose=store.kf_pose[kf_c],
@@ -380,6 +386,8 @@ def build_local_ba(store: MapStore, kf_id, k_free: int = 16,
         edge_inv_sigma2=e_inv_s2,
         edge_valid=e_valid,
         kf_fixed=kf_fixed,
+        edge_ur=e_ur,
+        bf=bf,
     )
     return prob, kf_slots, pt_slots, e_feat, e_src_kf
 
@@ -411,7 +419,8 @@ def apply_local_ba(store: MapStore, prob: ba.BAProblem, inlier,
 def local_bundle_adjustment(store: MapStore, cam: Camera, kf_id,
                             k_free: int = 16, k_fixed: int = 16,
                             p_max: int = 4096, o_max: int = 12,
-                            iters1: int = 10, iters2: int = 15):
+                            iters1: int = 10, iters2: int = 15,
+                            stereo: bool = False, bf: float = 0.0):
     """Full local BA pass (Optimizer::LocalBundleAdjustment,
     src/Optimizer.cc:453-778): assemble -> two-phase LM with Schur ->
     write back + outlier erasure. Default iteration budget is higher than
@@ -419,7 +428,7 @@ def local_bundle_adjustment(store: MapStore, cam: Camera, kf_id,
     (a rejected step consumes an iteration where g2o's inner lambda loop
     retries within one)."""
     prob, kf_slots, pt_slots, e_feat, e_src_kf = build_local_ba(
-        store, kf_id, k_free, k_fixed, p_max, o_max)
+        store, kf_id, k_free, k_fixed, p_max, o_max, stereo, bf)
     prob, inlier = ba.bundle_adjust(cam, prob, iters1, iters2)
     return apply_local_ba(store, prob, inlier, kf_slots, pt_slots,
                           e_feat, e_src_kf)

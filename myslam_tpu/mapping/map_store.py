@@ -53,6 +53,9 @@ class MapStore:
     kf_desc: jnp.ndarray       # [K, F, 8] u32
     kf_fvalid: jnp.ndarray     # [K, F] bool
     kf_obs: jnp.ndarray        # [K, F] i32 point id / NO_POINT
+    kf_ur: jnp.ndarray         # [K, F] f32 stereo right column (-1 = mono
+                               #   observation; KeyFrame::mvuRight,
+                               #   include/KeyFrame.h:163)
     # --- points ---
     pt_xyz: jnp.ndarray        # [P, 3]
     pt_valid: jnp.ndarray      # [P] bool
@@ -99,6 +102,7 @@ class MapStore:
             kf_desc=jnp.zeros((kf_cap, feat_cap, 8), jnp.uint32),
             kf_fvalid=jnp.zeros((kf_cap, feat_cap), bool),
             kf_obs=jnp.full((kf_cap, feat_cap), NO_POINT, jnp.int32),
+            kf_ur=jnp.full((kf_cap, feat_cap), -1.0, f32),
             pt_xyz=jnp.zeros((pt_cap, 3), f32),
             pt_valid=jnp.zeros(pt_cap, bool),
             pt_normal=jnp.zeros((pt_cap, 3), f32),
@@ -147,6 +151,10 @@ def add_keyframe(store: MapStore, pose, feats, obs, frame_id, timestamp):
         kf_fvalid=store.kf_fvalid.at[kf_id].set(feats.valid),
         kf_obs=store.kf_obs.at[kf_id].set(
             jnp.where(feats.valid, obs, NO_POINT)),
+        kf_ur=store.kf_ur.at[kf_id].set(
+            jnp.full(store.feat_cap, -1.0, jnp.float32)
+            if feats.u_right is None
+            else jnp.where(feats.valid, feats.u_right, -1.0)),
     ), kf_id
 
 
@@ -368,6 +376,8 @@ def erase_keyframe(store: MapStore, kf_id):
             jnp.full(store.feat_cap, NO_POINT, jnp.int32)),
         kf_fvalid=store.kf_fvalid.at[kf_id].set(
             jnp.zeros(store.feat_cap, bool)),
+        kf_ur=store.kf_ur.at[kf_id].set(
+            jnp.full(store.feat_cap, -1.0, jnp.float32)),
     )
 
 

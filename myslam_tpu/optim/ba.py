@@ -31,9 +31,11 @@ import jax.numpy as jnp
 
 from ..geom import se3
 from ..geom.projection import Camera
-from .residuals import huber_weight, pose_point_jacobians
+from .residuals import (huber_weight, pose_point_jacobians,
+                        stereo_point_jacobians)
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815    # chi^2_3 gate for stereo edges (src/Optimizer.cc:575)
 HUBER_MONO_SQ = 5.991  # delta = sqrt(5.991) (reference src/Optimizer.cc:302)
 
 
@@ -49,6 +51,11 @@ class BAProblem(NamedTuple):
     edge_valid: [E] bool (padding/outliers False).
     kf_fixed: [K] bool — poses held constant (first KF, boundary KFs;
               reference src/Optimizer.cc:73-76, 522-534).
+    edge_ur:  [E] f32 or None — observed right column per edge (>= 0 =
+              stereo edge with the 3D residual of g2o
+              EdgeStereoSE3ProjectXYZ; < 0 = monocular edge).
+    bf:       stereo baseline times fx (scalar; only read when edge_ur is
+              given).
     """
 
     kf_pose: jnp.ndarray
@@ -59,33 +66,59 @@ class BAProblem(NamedTuple):
     edge_inv_sigma2: jnp.ndarray
     edge_valid: jnp.ndarray
     kf_fixed: jnp.ndarray
+    edge_ur: jnp.ndarray = None
+    bf: float = 0.0
+
+
+def _edge_residuals(cam, prob: BAProblem, want_point=True):
+    """(e, Jp, Jl, z) with stereo third rows masked for mono edges; shapes
+    are [E,2,*] for all-mono problems and [E,3,*] when edge_ur is given."""
+    Tcw = prob.kf_pose[prob.edge_kf]
+    xyz = prob.pt_xyz[prob.edge_pt]
+    if prob.edge_ur is None:
+        return pose_point_jacobians(cam, Tcw, xyz, prob.edge_uv,
+                                    want_point=want_point)
+    stereo = prob.edge_ur >= 0
+    uvr = jnp.concatenate(
+        [prob.edge_uv, jnp.maximum(prob.edge_ur, 0.0)[:, None]], axis=-1)
+    e, Jp, Jl, z = stereo_point_jacobians(cam, Tcw, xyz, uvr, prob.bf,
+                                          want_point=want_point)
+    ones = jnp.ones_like(stereo, dtype=jnp.float32)
+    row_mask = jnp.stack([ones, ones, stereo.astype(jnp.float32)], axis=-1)
+    e = e * row_mask
+    Jp = Jp * row_mask[..., None]
+    if Jl is not None:
+        Jl = Jl * row_mask[..., None]
+    return e, Jp, Jl, z
+
+
+def _chi2_gate(prob: BAProblem):
+    """Per-edge chi2 threshold / Huber delta^2 (5.991 mono, 7.815 stereo)."""
+    if prob.edge_ur is None:
+        return HUBER_MONO_SQ
+    return jnp.where(prob.edge_ur >= 0, CHI2_STEREO, CHI2_MONO)
 
 
 def _edge_terms(cam, prob: BAProblem, use_huber: bool):
     """Residuals, Jacobians and robust weights for every edge."""
-    Tcw = prob.kf_pose[prob.edge_kf]
-    xyz = prob.pt_xyz[prob.edge_pt]
-    e, Jp, Jl, z = pose_point_jacobians(cam, Tcw, xyz, prob.edge_uv)
+    e, Jp, Jl, z = _edge_residuals(cam, prob)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
     w = prob.edge_inv_sigma2
     if use_huber:
-        w = w * huber_weight(chi2, HUBER_MONO_SQ)
+        w = w * huber_weight(chi2, _chi2_gate(prob))
     w = jnp.where(prob.edge_valid, w, 0.0)
     return e, Jp, Jl, z, chi2, w
 
 
 def _robust_cost(cam, prob: BAProblem, use_huber: bool):
-    Tcw = prob.kf_pose[prob.edge_kf]
-    xyz = prob.pt_xyz[prob.edge_pt]
-    e, _ = None, None
-    e, Jp, Jl, z = pose_point_jacobians(cam, Tcw, xyz, prob.edge_uv)
+    e, _, _, z = _edge_residuals(cam, prob, want_point=False)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
     if use_huber:
+        gate = _chi2_gate(prob)
         rho = jnp.where(
-            chi2 <= HUBER_MONO_SQ,
+            chi2 <= gate,
             chi2,
-            2.0 * jnp.sqrt(HUBER_MONO_SQ * jnp.maximum(chi2, 1e-12))
-            - HUBER_MONO_SQ,
+            2.0 * jnp.sqrt(gate * jnp.maximum(chi2, 1e-12)) - gate,
         )
     else:
         rho = chi2
@@ -240,9 +273,7 @@ def run_lm(cam: Camera, prob: BAProblem, iters: int, use_huber: bool = True,
 
 def edge_chi2_depth(cam: Camera, prob: BAProblem):
     """Per-edge chi2 and camera-frame depth at the current estimate."""
-    Tcw = prob.kf_pose[prob.edge_kf]
-    xyz = prob.pt_xyz[prob.edge_pt]
-    e, _, _, z = pose_point_jacobians(cam, Tcw, xyz, prob.edge_uv)
+    e, _, _, z = _edge_residuals(cam, prob, want_point=False)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
     return chi2, z
 
@@ -267,16 +298,19 @@ def bundle_adjust(cam: Camera, prob: BAProblem, iters1: int = 5,
       refined solution is kept as an observation.
     """
     valid0 = prob.edge_valid
+    gate = _chi2_gate(prob)  # 5.991 mono / 7.815 stereo, per edge
     prob = refine_points_only(cam, prob, 3, use_huber=True)
     prob = run_lm(cam, prob, iters1, use_huber=True)
     prob = refine_points_only(cam, prob, 2, use_huber=True)
     chi2, z = edge_chi2_depth(cam, prob)
-    keep = valid0 & (chi2 <= 4.0 * CHI2_MONO) & (z > 0)
+    keep = valid0 & (chi2 <= 4.0 * gate) & (z > 0)
     prob = prob._replace(edge_valid=keep)
     prob = run_lm(cam, prob, iters2, use_huber=False)
     prob = refine_points_only(cam, prob, 2, use_huber=False)
     chi2, z = edge_chi2_depth(cam, prob)
-    inlier = valid0 & (chi2 <= CHI2_MONO) & (z > 0)
+    inlier = valid0 & (chi2 <= gate) & (z > 0)
+    # keep written-back poses exactly on SO(3) (see se3.renormalize)
+    prob = prob._replace(kf_pose=se3.renormalize(prob.kf_pose))
     return prob._replace(edge_valid=valid0), inlier
 
 
@@ -285,4 +319,5 @@ def global_bundle_adjust(cam: Camera, prob: BAProblem, iters: int = 20):
     """GlobalBundleAdjustemnt equivalent (src/Optimizer.cc:41-54): single
     phase, Huber kernel on, all KFs but the first free (caller sets
     kf_fixed)."""
-    return run_lm(cam, prob, iters, use_huber=True)
+    prob = run_lm(cam, prob, iters, use_huber=True)
+    return prob._replace(kf_pose=se3.renormalize(prob.kf_pose))

@@ -64,6 +64,43 @@ def pose_point_jacobians(cam: Camera, Tcw, xyz_w, uv_obs, *, want_point=True):
     return e, Jp, Jl, p[..., 2]
 
 
+def stereo_point_jacobians(cam: Camera, Tcw, xyz_w, uvr_obs, bf, *,
+                           want_point=True):
+    """Batched stereo projection edge (g2o EdgeStereoSE3ProjectXYZ /
+    ...OnlyPose, Thirdparty/g2o/g2o/types/types_six_dof_expmap.h:111-206):
+    residual is (u, v, u_r) with the virtual right column
+    u_r = u - bf / z. For monocular observations the caller masks the
+    third residual row (zero weight), which reduces the edge exactly to
+    the 2D one.
+
+    Args:
+      uvr_obs: [..., 3] observed (u, v, u_right).
+      bf: stereo baseline times fx.
+    Returns (e [..., 3], Jp [..., 3, 6], Jl [..., 3, 3] or None, z [...]).
+    """
+    p = se3.transform(Tcw, xyz_w)
+    z = jnp.where(jnp.abs(p[..., 2]) < 1e-9, 1e-9, p[..., 2])
+    u = cam.fx * p[..., 0] / z + cam.cx
+    v = cam.fy * p[..., 1] / z + cam.cy
+    ur = u - bf / z
+    e = uvr_obs - jnp.stack([u, v, ur], axis=-1)
+
+    A2 = dproj_dp(cam, p)                                # [..., 2, 3]
+    # d u_r / dp = d u / dp + bf/z^2 * e_z
+    inv_z2 = 1.0 / (z * z)
+    row_ur = A2[..., 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), bf * inv_z2], axis=-1)
+    A = jnp.concatenate([A2, row_ur[..., None, :]], axis=-2)  # [..., 3, 3]
+
+    Ahat = A @ se3.hat(p)
+    Jp = jnp.concatenate([Ahat, -A], axis=-1)            # [..., 3, 6]
+    Jl = None
+    if want_point:
+        R = se3.rotation(Tcw)
+        Jl = -(A @ R)
+    return e, Jp, Jl, p[..., 2]
+
+
 def huber_weight(chi2, delta_sq):
     """Robust reweighting factor rho'(chi2) for the Huber kernel with
     threshold delta^2 (g2o RobustKernelHuber,

@@ -27,6 +27,8 @@ from ..utils.config import Settings, load_settings
 from . import tracking
 
 MONOCULAR = 0
+STEREO = 1
+RGBD = 2
 
 
 class System:
@@ -58,11 +60,19 @@ class System:
             s.height, s.width, n_features=s.n_features,
             n_levels=s.n_levels, scale=s.scale_factor,
             ini_th_fast=s.ini_th_fast, min_th_fast=s.min_th_fast)
+        import dataclasses
+        # close/far split in meters: mThDepth = mbf * ThDepth / fx
+        # (reference src/Tracking.cc:136-142)
+        th_depth_m = (s.bf / s.fx) * s.th_depth if s.bf > 0 else 3.0
         cfg = tracking_config or tracking.TrackingConfig(
-            scale=s.scale_factor, n_levels=s.n_levels)
+            scale=s.scale_factor, n_levels=s.n_levels,
+            sensor=sensor, bf=s.bf, th_depth=th_depth_m)
+        if tracking_config is not None and cfg.sensor != sensor:
+            cfg = dataclasses.replace(cfg, sensor=sensor, bf=s.bf,
+                                      th_depth=th_depth_m)
         if cfg.feat_cap != self.extractor.capacity:
-            import dataclasses
             cfg = dataclasses.replace(cfg, feat_cap=self.extractor.capacity)
+        self.sensor = sensor
         self.tracker = tracking.Tracker(self.cam, cfg)
         self.localization_only = False
         self._frame_id = 0
@@ -75,32 +85,33 @@ class System:
             from .semantic import SemanticFilter
             semantic_filter = SemanticFilter()
         self.semantic_filter = semantic_filter
-        del use_viewer  # headless (reference Viewer is GL-interactive)
+        # Headless "viewer": writes frame overlays + map renders as PNG
+        # artifacts (viz/viewer.py) instead of the reference's Pangolin
+        # window (src/Viewer.cc).
+        self.viewer = None
+        if use_viewer:
+            from ..viz import Viewer
+            self.viewer = Viewer()
 
     # ------------------------------------------------------------------
-    def track_monocular(self, image, timestamp: float = None,
-                        detections=None):
-        """One tracking step on a [H, W] (or [H, W, 3]) image.
-        Returns the current camera pose Tcw [3, 4] (None before init) —
-        System::TrackMonocular (src/System.cc:219-269).
-
-        detections: optional precomputed YOLO detections for this frame;
-        if None and a detector is attached, it runs here. Dynamic-class
-        features are masked before tracking and repeat-offender map points
-        culled after (slam/semantic.py)."""
-        t0 = time.perf_counter()
+    @staticmethod
+    def _to_gray(image):
         img = jnp.asarray(image, jnp.float32)
         if img.ndim == 3:
-            gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
-                    + 0.114 * img[..., 2])
-        else:
-            gray = img
+            return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                    + 0.114 * img[..., 2]), img
+        return img, img
+
+    def _maybe_detect(self, img, detections):
         if detections is None and self.detector is not None:
             rgb = img if img.ndim == 3 else jnp.repeat(
                 img[..., None], 3, axis=-1)
             detections = self.detector.detect(np.asarray(rgb) / 255.0)
-        feats = self.extractor(gray)
-        feats = frame_mod.undistort(self.cam, feats)
+        return detections
+
+    def _track_common(self, feats, timestamp, detections, t0, image=None):
+        """Shared tail of Track{Monocular,Stereo,RGBD}: semantic gating,
+        tracking step, semantic map culling, viewer update, timing."""
         if detections and self.semantic_filter is not None:
             feats = self.semantic_filter.filter_features(feats, detections)
         if timestamp is None:
@@ -114,9 +125,76 @@ class System:
             self.tracker.store = self.semantic_filter.update_and_cull(
                 self.tracker.store, self.cam, self.tracker.Tcw,
                 self.tracker.last_obs, detections)
+        if self.viewer is not None and image is not None:
+            tm = (np.asarray(self.tracker.last_obs) >= 0) \
+                if tracked and self.tracker.last_obs is not None else None
+            self.viewer.update(
+                np.asarray(image), feats, tm, detections,
+                store=self.tracker.store, Tcw=self.tracker.Tcw,
+                state=self.tracker.state)
         self._frame_id += 1
         self.frame_times.append(time.perf_counter() - t0)
         return np.asarray(self.tracker.Tcw) if tracked else None
+
+    def track_monocular(self, image, timestamp: float = None,
+                        detections=None):
+        """One tracking step on a [H, W] (or [H, W, 3]) image.
+        Returns the current camera pose Tcw [3, 4] (None before init) —
+        System::TrackMonocular (src/System.cc:219-269).
+
+        detections: optional precomputed YOLO detections for this frame;
+        if None and a detector is attached, it runs here. Dynamic-class
+        features are masked before tracking and repeat-offender map points
+        culled after (slam/semantic.py)."""
+        t0 = time.perf_counter()
+        gray, img = self._to_gray(image)
+        detections = self._maybe_detect(img, detections)
+        feats = self.extractor(gray)
+        feats = frame_mod.undistort(self.cam, feats)
+        return self._track_common(feats, timestamp, detections, t0,
+                                  image=gray)
+
+    def track_stereo(self, left, right, timestamp: float = None,
+                     detections=None):
+        """One tracking step on a rectified stereo pair
+        (System::TrackStereo, src/System.cc:130-180): ORB on both images
+        (the reference extracts L/R in two threads, src/Frame.cc:77-80 —
+        here both are device programs), stereo matching for per-feature
+        depth, then the common tracking step with stereo edges."""
+        t0 = time.perf_counter()
+        from ..ops import stereo as stereo_ops
+        grayL, imgL = self._to_gray(left)
+        grayR, _ = self._to_gray(right)
+        detections = self._maybe_detect(imgL, detections)
+        featsL = self.extractor(grayL)
+        featsR = self.extractor(grayR)
+        bf = self.settings.bf
+        baseline = bf / self.settings.fx
+        u_right, depth = stereo_ops.match_stereo(
+            featsL, featsR, grayL, grayR, bf, min_z=baseline,
+            scale=self.settings.scale_factor)
+        featsL = frame_mod.undistort(self.cam, featsL)
+        featsL = featsL.replace(u_right=u_right, depth=depth)
+        return self._track_common(featsL, timestamp, detections, t0,
+                                  image=grayL)
+
+    def track_rgbd(self, image, depth_image, timestamp: float = None,
+                   detections=None):
+        """One tracking step on a registered RGB-D pair
+        (System::TrackRGBD, src/System.cc:182-217 +
+        Frame::ComputeStereoFromRGBD, src/Frame.cc:643-664)."""
+        t0 = time.perf_counter()
+        from ..ops import stereo as stereo_ops
+        gray, img = self._to_gray(image)
+        detections = self._maybe_detect(img, detections)
+        feats = self.extractor(gray)
+        feats = frame_mod.undistort(self.cam, feats)
+        u_right, depth = stereo_ops.stereo_from_depth(
+            feats, jnp.asarray(depth_image, jnp.float32), self.settings.bf,
+            depth_factor=self.settings.depth_map_factor)
+        feats = feats.replace(u_right=u_right, depth=depth)
+        return self._track_common(feats, timestamp, detections, t0,
+                                  image=gray)
 
     def track_features(self, feats, timestamp: float = None):
         """Tracking step on precomputed FrameFeatures (benchmarks/tests)."""

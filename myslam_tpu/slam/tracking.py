@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..features.frame import FrameFeatures
-from ..geom import se3
+from ..geom import projection, se3
 from ..geom.projection import Camera
 from ..mapping import local_mapping, map_store
 from ..mapping.map_store import NO_POINT, MapStore
@@ -62,6 +62,15 @@ class TrackingConfig:
     # loop closing
     enable_loop_closing: bool = True
     vocab_words: int = 512
+    # sensor (0 = monocular, 1 = stereo, 2 = RGB-D; reference
+    # System::eSensor include/System.h:55-60)
+    sensor: int = 0
+    bf: float = 0.0                 # baseline * fx (reference mbf)
+    th_depth: float = 3.0           # meters; close/far point split
+                                    # (reference mThDepth = mbf*ThDepth/fx)
+    min_init_depth_points: int = 300  # stereo bootstrap gate (the
+                                    # reference requires 500 features,
+                                    # src/Tracking.cc:519)
 
 
 NOT_INITIALIZED = 0
@@ -130,13 +139,16 @@ def _reference_kf_match(store: MapStore, cam: Camera, feats, ref_kf):
 
 
 @jax.jit
-def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs):
+def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs, bf=0.0):
     """PoseOptimization on the current associations; drops outlier
-    associations (Tracking.cc:785-807 usage of Optimizer::PoseOptimization)."""
+    associations (Tracking.cc:785-807 usage of Optimizer::PoseOptimization).
+    Stereo/RGB-D frames carry u_right and get 3D edges
+    (src/Optimizer.cc:338)."""
     xyz, valid = _frame_point_data(store, obs)
     inv_s2 = 1.0 / store.level_sigma2(feats.level)
     Tcw, inlier, n = pose_opt.optimize_pose(
-        cam, Tcw0, xyz, feats.xy, inv_s2, valid)
+        cam, Tcw0, xyz, feats.xy, inv_s2, valid,
+        u_right=feats.u_right, bf=bf)
     obs_out = jnp.where(inlier, obs, NO_POINT)
     return Tcw, obs_out, n
 
@@ -249,6 +261,58 @@ class Tracker:
         return k
 
     def _try_initialize(self, feats, frame_id, timestamp) -> bool:
+        if self.cfg.sensor != 0:
+            return self._stereo_initialize(feats, frame_id, timestamp)
+        return self._mono_initialize(feats, frame_id, timestamp)
+
+    def _stereo_initialize(self, feats, frame_id, timestamp) -> bool:
+        """Stereo/RGB-D bootstrap (Tracking::StereoInitialization,
+        src/Tracking.cc:517-570): one keyframe at the origin, map points
+        unprojected from every feature with a depth measurement — metric
+        scale from the start, no two-view RANSAC, no depth normalization."""
+        cfg = self.cfg
+        if feats.depth is None:
+            raise ValueError("stereo/RGB-D tracking needs feats.depth")
+        has_depth = feats.valid & (feats.depth > 0)
+        if int(has_depth.sum()) < cfg.min_init_depth_points:
+            return False
+
+        store = self.store
+        F = feats.capacity
+        obs_empty = jnp.full(F, NO_POINT, jnp.int32)
+        store, k0 = map_store.add_keyframe(
+            store, se3.identity(), feats, obs_empty, frame_id, timestamp)
+        slots = map_store.allocate_points(store, has_depth)
+        xyz = projection.backproject(self.cam, feats.xy, feats.depth)
+        store = map_store.write_points(
+            store, slots, xyz=xyz, desc=feats.desc,
+            normal=jnp.zeros((F, 3)), min_dist=jnp.zeros(F),
+            max_dist=jnp.ones(F),
+            ref_kf=jnp.full(F, 0, jnp.int32),
+            ref_level=feats.level,
+            first_kf=jnp.full(F, 0, jnp.int32))
+        okp = slots >= 0
+        store = map_store.set_observations(
+            store, k0, jnp.arange(F), slots, okp)
+        store = map_store.refresh_point_stats(
+            store, jnp.where(okp, slots, -1))
+
+        self.store = store
+        self.state = OK
+        self.Tcw = se3.identity()
+        self._last_Tcw = self.Tcw
+        self.velocity = None
+        self.last_feats = feats
+        self.last_obs = store.kf_obs[0]
+        self.ref_kf = 0
+        self.n_kf = 1
+        self.last_kf_frame = frame_id
+
+        if cfg.enable_loop_closing:
+            self._init_loop_closer(kf_ids=(0,))
+        return True
+
+    def _mono_initialize(self, feats, frame_id, timestamp) -> bool:
         """Two-view bootstrap (Tracking::MonocularInitialization,
         src/Tracking.cc:572-746)."""
         cfg = self.cfg
@@ -353,7 +417,7 @@ class Tracker:
         if self.cfg.enable_loop_closing:
             self._init_loop_closer()
 
-    def _init_loop_closer(self):
+    def _init_loop_closer(self, kf_ids=(0, 1)):
         """Train the BoW vocabulary from the bootstrap keyframes and build
         the database (replaces loading the pretrained ORB vocabulary file,
         reference System.cc:62-76)."""
@@ -361,12 +425,12 @@ class Tracker:
         from .loop_closing import LoopCloser
 
         store = self.store
-        descs = jnp.concatenate([store.kf_desc[0], store.kf_desc[1]])
-        valid = jnp.concatenate([store.kf_fvalid[0], store.kf_fvalid[1]])
+        descs = jnp.concatenate([store.kf_desc[k] for k in kf_ids])
+        valid = jnp.concatenate([store.kf_fvalid[k] for k in kf_ids])
         vocab = vocabulary.train_vocabulary(
             descs, valid, n_words=self.cfg.vocab_words, iters=6)
         self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap)
-        for k in (0, 1):
+        for k in kf_ids:
             self.loop_closer.add_keyframe_bow(store, k)
 
     # ------------------------------------------------------------------
@@ -391,7 +455,7 @@ class Tracker:
                 n_mm = int((obs >= 0).sum())
             if n_mm >= cfg.min_track_matches:
                 Tcw, obs, n = _pose_optimize(
-                    self.store, self.cam, T_pred, feats, obs)
+                    self.store, self.cam, T_pred, feats, obs, self.cfg.bf)
                 if int(n) >= cfg.min_track_inliers:
                     self.Tcw, cur_obs, tracked = Tcw, obs, True
 
@@ -399,7 +463,7 @@ class Tracker:
             obs = _reference_kf_match(self.store, self.cam, feats, self.ref_kf)
             if int((obs >= 0).sum()) >= cfg.min_track_matches // 2:
                 Tcw, obs, n = _pose_optimize(
-                    self.store, self.cam, self.Tcw, feats, obs)
+                    self.store, self.cam, self.Tcw, feats, obs, self.cfg.bf)
                 if int(n) >= cfg.min_track_inliers:
                     self.Tcw, cur_obs, tracked = Tcw, obs, True
 
@@ -414,7 +478,7 @@ class Tracker:
         cur_obs, visible = _local_map_match(
             self.store, self.cam, self.Tcw, feats, cur_obs, pt_ids)
         self.Tcw, cur_obs, n_in = _pose_optimize(
-            self.store, self.cam, self.Tcw, feats, cur_obs)
+            self.store, self.cam, self.Tcw, feats, cur_obs, self.cfg.bf)
         n_inliers = int(n_in)
         self.n_last_inliers = n_inliers
         self.store = map_store.bump_counters(
@@ -430,7 +494,7 @@ class Tracker:
             self.velocity = se3.compose(self.Tcw, T_last_inv)
 
         # ---- keyframe decision (src/Tracking.cc:984-1068) ----
-        if self._need_new_keyframe(n_inliers, frame_id):
+        if self._need_new_keyframe(n_inliers, frame_id, feats, cur_obs):
             self._insert_keyframe(feats, cur_obs, frame_id, timestamp)
             # Map surgery (cull -> allocate) REUSES point slots, so ids held
             # before the insertion may now name different points. The new
@@ -445,7 +509,8 @@ class Tracker:
         self.last_obs = cur_obs
         return True
 
-    def _need_new_keyframe(self, n_inliers, frame_id) -> bool:
+    def _need_new_keyframe(self, n_inliers, frame_id, feats=None,
+                           cur_obs=None) -> bool:
         """Keyframe policy (Tracking::NeedNewKeyFrame,
         src/Tracking.cc:984-1068 conditions c1a/c1b/c2) plus a
         baseline-ratio trigger: monocular structure near a small-baseline
@@ -461,6 +526,17 @@ class Tracker:
             return False
         if n_inliers <= 15:
             return False
+        # stereo/RGB-D c1c rule (src/Tracking.cc:1014-1031): running out of
+        # close tracked points while close candidates are available forces
+        # a keyframe so they get inserted into the map.
+        if (cfg.sensor != 0 and feats is not None
+                and feats.depth is not None and cur_obs is not None):
+            close = (feats.valid & (feats.depth > 0)
+                     & (feats.depth < cfg.th_depth))
+            tracked_close = int((close & (cur_obs >= 0)).sum())
+            untracked_close = int((close & (cur_obs < 0)).sum())
+            if tracked_close < 100 and untracked_close > 70:
+                return True
         ref_tracked = int((self.store.kf_obs[self.ref_kf] >= 0).sum())
         c1a = frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
         c2 = n_inliers < ref_tracked * 0.9
@@ -490,6 +566,32 @@ class Tracker:
         self.ref_kf = kf_id
         self.last_kf_frame = frame_id
 
+        # stereo/RGB-D: unproject close-depth features without a map point
+        # into new points (CreateNewKeyFrame depth insertion,
+        # src/Tracking.cc:1086-1142 — all closer than mThDepth, topped up
+        # to the 100 nearest).
+        if cfg.sensor != 0 and feats.depth is not None:
+            F = feats.capacity
+            no_obs = store.kf_obs[kf_id] < 0
+            dd = jnp.where(feats.valid & no_obs & (feats.depth > 0),
+                           feats.depth, jnp.inf)
+            order = jnp.argsort(dd)
+            rank = jnp.zeros(F, jnp.int32).at[order].set(
+                jnp.arange(F, dtype=jnp.int32))
+            want = jnp.isfinite(dd) & ((dd < cfg.th_depth) | (rank < 100))
+            slots = map_store.allocate_points(store, want)
+            xyz_c = projection.backproject(self.cam, feats.xy, feats.depth)
+            xyz_w = se3.transform(se3.inverse(self.Tcw), xyz_c)
+            store = map_store.write_points(
+                store, slots, xyz=xyz_w, desc=feats.desc,
+                normal=jnp.zeros((F, 3)), min_dist=jnp.zeros(F),
+                max_dist=jnp.ones(F),
+                ref_kf=jnp.full(F, kf_id, jnp.int32),
+                ref_level=feats.level,
+                first_kf=jnp.full(F, int(store.kf_seq[kf_id]), jnp.int32))
+            store = map_store.set_observations(
+                store, kf_id, jnp.arange(F), slots, slots >= 0)
+
         # ProcessNewKeyFrame: refresh stats of observed points
         own = store.kf_obs[kf_id]
         store = map_store.refresh_point_stats(
@@ -509,7 +611,8 @@ class Tracker:
         if self.n_kf > 2:
             store = local_mapping.local_bundle_adjustment(
                 store, self.cam, kf_id, cfg.ba_free, cfg.ba_fixed,
-                cfg.ba_pts, cfg.ba_obs)
+                cfg.ba_pts, cfg.ba_obs,
+                stereo=cfg.sensor != 0, bf=cfg.bf)
         # KeyFrameCulling — capacity-pressure policy: the redundancy rule
         # (reference src/LocalMapping.cc:634) exists to bound map size, but
         # culling early keyframes deletes the LONG-BASELINE observations

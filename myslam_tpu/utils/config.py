@@ -34,6 +34,11 @@ class Settings:
     n_levels: int = 8
     ini_th_fast: int = 20
     min_th_fast: int = 7
+    # stereo / RGB-D (reference Tracking.cc:136-151: mbf, mThDepth,
+    # mDepthMapFactor)
+    bf: float = 0.0
+    th_depth: float = 35.0          # in baseline units (Camera.bf/fx * this)
+    depth_map_factor: float = 1.0
     extras: dict = field(default_factory=dict)
 
 
@@ -48,6 +53,9 @@ _KEY_MAP = {
     "ORBextractor.nLevels": "n_levels",
     "ORBextractor.iniThFAST": "ini_th_fast",
     "ORBextractor.minThFAST": "min_th_fast",
+    "Camera.bf": "bf",
+    "ThDepth": "th_depth",
+    "DepthMapFactor": "depth_map_factor",
 }
 
 _INT_KEYS = {"rgb", "width", "height", "n_features", "n_levels",
