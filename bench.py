@@ -2,10 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The pipeline benched is the reference's per-frame hot path (ORB extraction
-at the production config of slam_cfg/config.yaml — 640x480, 2000 features,
-8 levels — plus motion-model tracking, pose optimization, local-map
-tracking and keyframe mapping; SURVEY.md §3.2). Baseline: the reference's
+The pipeline benched is the reference's per-frame hot path (ORB
+extraction at the production config of slam_cfg/config.yaml — 640x480,
+2000 features, 8 levels — plus motion-model tracking, pose optimization,
+local-map tracking and keyframe mapping with local Schur BA; SURVEY.md
+§3.2). It runs in the framework's production mode: the ENTIRE per-frame
+step is one fused device program (slam/fused.py) scanned over chunks of
+frames, so the host syncs once per chunk. Baseline: the reference's
 upstream-documented ~30 ms/frame tracking on a desktop CPU (BASELINE.md,
 ~33 fps).
 
@@ -25,6 +28,9 @@ if "--cpu" in sys.argv:
 import numpy as np  # noqa: E402
 
 BASELINE_FPS = 33.0  # reference tracking thread, desktop CPU (BASELINE.md)
+CHUNK = 8
+N_CHUNKS = 7
+WARM_CHUNKS = 2
 
 
 def main():
@@ -34,12 +40,9 @@ def main():
     from myslam_tpu.features import frame as frame_mod
     from myslam_tpu.geom.projection import Camera
     from myslam_tpu.io import synthetic
-    from myslam_tpu.slam import tracking
+    from myslam_tpu.slam import fused, tracking
 
-    n_frames = 40
-    warmup = 12
-
-    # rendered image sequence -> full extractor + tracker path
+    n_frames = CHUNK * N_CHUNKS + 16
     seq = synthetic.ImageSequence(width=640, height=480,
                                   n_frames=n_frames + 2, step_px=2.0)
     cam = Camera.create(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
@@ -53,18 +56,28 @@ def main():
         enable_loop_closing=False)
     tr = tracking.Tracker(cam, cfg)
 
-    times = []
-    for i in range(n_frames):
+    # host-paced bootstrap (two-view init), then switch to fused chunks
+    i = 0
+    while tr.state != tracking.OK and i < 16:
         img = jnp.asarray(seq.frame(i))
-        t0 = time.perf_counter()
-        feats = ex(img)
-        feats = frame_mod.undistort(cam, feats)
+        feats = frame_mod.undistort(cam, ex(img))
         tr.process_frame(feats, i, i / 30.0)
-        jax.block_until_ready(tr.Tcw)
-        times.append(time.perf_counter() - t0)
+        i += 1
 
-    steady = sorted(times[warmup:])
-    med = steady[len(steady) // 2]
+    ft = fused.FusedTracker(cam, cfg, extractor=ex)
+    state = ft.state_from(tr)
+
+    chunk_times = []
+    for c in range(N_CHUNKS):
+        imgs = np.stack([seq.frame(i + c * CHUNK + k) for k in range(CHUNK)])
+        ts = (i + c * CHUNK + np.arange(CHUNK)) / 30.0
+        t0 = time.perf_counter()
+        state, info = ft.run_images(state, imgs, ts)
+        jax.block_until_ready(state.Tcw)
+        chunk_times.append(time.perf_counter() - t0)
+
+    steady = sorted(chunk_times[WARM_CHUNKS:])
+    med = steady[len(steady) // 2] / CHUNK
     fps = 1.0 / med
     print(json.dumps({
         "metric": "slam_tracking_fps_per_chip",

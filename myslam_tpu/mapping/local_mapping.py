@@ -429,6 +429,9 @@ def local_bundle_adjustment(store: MapStore, cam: Camera, kf_id,
     retries within one)."""
     prob, kf_slots, pt_slots, e_feat, e_src_kf = build_local_ba(
         store, kf_id, k_free, k_fixed, p_max, o_max, stereo, bf)
-    prob, inlier = ba.bundle_adjust(cam, prob, iters1, iters2)
+    # o_group: build_local_ba emits point-major edges (o_max per point),
+    # which enables the scatter-free structured assembly in optim/ba.py
+    prob, inlier = ba.bundle_adjust(cam, prob, iters1, iters2,
+                                    o_group=o_max)
     return apply_local_ba(store, prob, inlier, kf_slots, pt_slots,
                           e_feat, e_src_kf)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..geom import se3
 from ..geom.projection import Camera
+from ..ops import indexing
 from .residuals import (huber_weight, pose_point_jacobians,
                         stereo_point_jacobians)
 
@@ -70,11 +71,34 @@ class BAProblem(NamedTuple):
     bf: float = 0.0
 
 
-def _edge_residuals(cam, prob: BAProblem, want_point=True):
+def _gather_pose_point(prob: BAProblem, o_group: int):
+    """Per-edge pose/point values.
+
+    o_group = 0: generic gathers (arbitrary edge lists, e.g. sharded BA).
+    o_group = O > 0: the STRUCTURED layout local BA emits — edges are
+    point-major with exactly O consecutive edges per landmark
+    (edge_pt = repeat(arange(P), O)). Then the point "gather" is a free
+    broadcast and the pose gather a one-hot matmul — no TPU gather ops
+    anywhere in the LM loop (gathers/scatters are serial-fallback slow on
+    TPU; see ops/indexing.py).
+    """
+    if o_group:
+        K = prob.kf_pose.shape[0]
+        P = prob.pt_xyz.shape[0]
+        Tcw = indexing.mm_gather(
+            prob.kf_pose.reshape(K, 12), prob.edge_kf).reshape(-1, 3, 4)
+        xyz = jnp.broadcast_to(
+            prob.pt_xyz[:, None, :], (P, o_group, 3)).reshape(-1, 3)
+    else:
+        Tcw = prob.kf_pose[prob.edge_kf]
+        xyz = prob.pt_xyz[prob.edge_pt]
+    return Tcw, xyz
+
+
+def _edge_residuals(cam, prob: BAProblem, want_point=True, o_group: int = 0):
     """(e, Jp, Jl, z) with stereo third rows masked for mono edges; shapes
     are [E,2,*] for all-mono problems and [E,3,*] when edge_ur is given."""
-    Tcw = prob.kf_pose[prob.edge_kf]
-    xyz = prob.pt_xyz[prob.edge_pt]
+    Tcw, xyz = _gather_pose_point(prob, o_group)
     if prob.edge_ur is None:
         return pose_point_jacobians(cam, Tcw, xyz, prob.edge_uv,
                                     want_point=want_point)
@@ -99,9 +123,9 @@ def _chi2_gate(prob: BAProblem):
     return jnp.where(prob.edge_ur >= 0, CHI2_STEREO, CHI2_MONO)
 
 
-def _edge_terms(cam, prob: BAProblem, use_huber: bool):
+def _edge_terms(cam, prob: BAProblem, use_huber: bool, o_group: int = 0):
     """Residuals, Jacobians and robust weights for every edge."""
-    e, Jp, Jl, z = _edge_residuals(cam, prob)
+    e, Jp, Jl, z = _edge_residuals(cam, prob, o_group=o_group)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
     w = prob.edge_inv_sigma2
     if use_huber:
@@ -110,8 +134,9 @@ def _edge_terms(cam, prob: BAProblem, use_huber: bool):
     return e, Jp, Jl, z, chi2, w
 
 
-def _robust_cost(cam, prob: BAProblem, use_huber: bool):
-    e, _, _, z = _edge_residuals(cam, prob, want_point=False)
+def _robust_cost(cam, prob: BAProblem, use_huber: bool, o_group: int = 0):
+    e, _, _, z = _edge_residuals(cam, prob, want_point=False,
+                                 o_group=o_group)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
     if use_huber:
         gate = _chi2_gate(prob)
@@ -148,11 +173,12 @@ def _inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
-def _solve_one_lm_step(cam, prob: BAProblem, lam, use_huber: bool):
+def _solve_one_lm_step(cam, prob: BAProblem, lam, use_huber: bool,
+                       o_group: int = 0):
     """Build and solve the damped Schur system; return (dpose [K,6], dpt [P,3])."""
     K = prob.kf_pose.shape[0]
     P = prob.pt_xyz.shape[0]
-    e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob, use_huber)
+    e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob, use_huber, o_group)
 
     # Per-edge weighted blocks.
     wJp = Jp * w[:, None, None]
@@ -162,10 +188,21 @@ def _solve_one_lm_step(cam, prob: BAProblem, lam, use_huber: bool):
     bp_e = -jnp.einsum("nij,ni->nj", wJp, e)          # [E,6]
     bl_e = -jnp.einsum("nij,ni->nj", Jl * w[:, None, None], e)  # [E,3]
 
-    Hpp = jnp.zeros((K, 6, 6)).at[prob.edge_kf].add(Hpp_e)
-    Hll = jnp.zeros((P, 3, 3)).at[prob.edge_pt].add(Hll_e)
-    bp = jnp.zeros((K, 6)).at[prob.edge_kf].add(bp_e)
-    bl = jnp.zeros((P, 3)).at[prob.edge_pt].add(bl_e)
+    if o_group:
+        # structured point-major assembly: landmark blocks are a reshape-
+        # sum, pose blocks a one-hot matmul — scatter-free (TPU scatters
+        # serialize; ops/indexing.py)
+        O = o_group
+        onek = indexing.onehot(prob.edge_kf, K)       # [E, K]
+        Hll = Hll_e.reshape(P, O, 3, 3).sum(1)
+        bl = bl_e.reshape(P, O, 3).sum(1)
+        Hpp = jnp.einsum("ek,eij->kij", onek, Hpp_e)
+        bp = jnp.einsum("ek,ei->ki", onek, bp_e)
+    else:
+        Hpp = jnp.zeros((K, 6, 6)).at[prob.edge_kf].add(Hpp_e)
+        Hll = jnp.zeros((P, 3, 3)).at[prob.edge_pt].add(Hll_e)
+        bp = jnp.zeros((K, 6)).at[prob.edge_kf].add(bp_e)
+        bl = jnp.zeros((P, 3)).at[prob.edge_pt].add(bl_e)
 
     # Marquardt damping.
     eyeK = jnp.eye(6, dtype=Hpp.dtype)
@@ -176,7 +213,13 @@ def _solve_one_lm_step(cam, prob: BAProblem, lam, use_huber: bool):
     Hll_inv = _inv3x3(Hll_d)  # [P,3,3]
 
     # Incidence tensor A[k,a,p,i] = sum_{edges (k,p)} Hpl_e[a,i].
-    A = jnp.zeros((K, 6, P, 3)).at[prob.edge_kf, :, prob.edge_pt, :].add(Hpl_e)
+    if o_group:
+        A = jnp.einsum("pok,poai->kapi",
+                       onek.reshape(P, o_group, K),
+                       Hpl_e.reshape(P, o_group, 6, 3))
+    else:
+        A = jnp.zeros((K, 6, P, 3)).at[
+            prob.edge_kf, :, prob.edge_pt, :].add(Hpl_e)
 
     # Reduced system S = Hpp_d - A Hll^-1 A^T  (block form).
     AW = jnp.einsum("kapi,pij->kapj", A, Hll_inv)
@@ -210,9 +253,9 @@ def _apply_step(prob: BAProblem, dpose, dpt):
     return prob._replace(kf_pose=new_pose, pt_xyz=prob.pt_xyz + dpt)
 
 
-@partial(jax.jit, static_argnames=("iters", "use_huber"))
+@partial(jax.jit, static_argnames=("iters", "use_huber", "o_group"))
 def refine_points_only(cam: Camera, prob: BAProblem, iters: int = 3,
-                       use_huber: bool = True):
+                       use_huber: bool = True, o_group: int = 0):
     """Point-only Gauss-Newton with poses fixed: independent damped 3x3
     solves per landmark, all in one batch. Used as a pre-phase of
     bundle_adjust — freshly triangulated landmarks enter far from their
@@ -221,22 +264,28 @@ def refine_points_only(cam: Camera, prob: BAProblem, iters: int = 3,
     accepted per-point, so bad landmarks converge independently."""
     P = prob.pt_xyz.shape[0]
 
+    def psum(vals, pt_idx, shape):
+        """Per-point segment sum (reshape when structured, scatter else)."""
+        if o_group:
+            return vals.reshape((P, o_group) + vals.shape[1:]).sum(1)
+        return jnp.zeros(shape).at[pt_idx].add(vals)
+
     def step(prob_c, _):
-        e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob_c, use_huber)
+        e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob_c, use_huber, o_group)
         wJl = Jl * w[:, None, None]
-        Hll = jnp.zeros((P, 3, 3)).at[prob_c.edge_pt].add(
-            jnp.einsum("nij,nik->njk", wJl, Jl))
-        bl = jnp.zeros((P, 3)).at[prob_c.edge_pt].add(
-            -jnp.einsum("nij,ni->nj", wJl, e))
+        Hll = psum(jnp.einsum("nij,nik->njk", wJl, Jl),
+                   prob_c.edge_pt, (P, 3, 3))
+        bl = psum(-jnp.einsum("nij,ni->nj", wJl, e),
+                  prob_c.edge_pt, (P, 3))
         dpt = jnp.einsum("pij,pj->pi", _inv3x3(Hll), bl)
         cand = prob_c._replace(pt_xyz=prob_c.pt_xyz + dpt)
         # accept per point: compare per-point chi2 sums
-        c_old, _ = edge_chi2_depth(cam, prob_c)
-        c_new, z_new = edge_chi2_depth(cam, cand)
+        c_old, _ = edge_chi2_depth(cam, prob_c, o_group)
+        c_new, z_new = edge_chi2_depth(cam, cand, o_group)
         val = prob_c.edge_valid
-        old_p = jnp.zeros(P).at[prob_c.edge_pt].add(jnp.where(val, c_old, 0))
-        new_p = jnp.zeros(P).at[prob_c.edge_pt].add(
-            jnp.where(val, jnp.where(z_new > 0, c_new, 1e12), 0))
+        old_p = psum(jnp.where(val, c_old, 0.0), prob_c.edge_pt, (P,))
+        new_p = psum(jnp.where(val, jnp.where(z_new > 0, c_new, 1e12), 0.0),
+                     prob_c.edge_pt, (P,))
         take = (new_p < old_p)[:, None]
         return prob_c._replace(
             pt_xyz=jnp.where(take, cand.pt_xyz, prob_c.pt_xyz)), None
@@ -245,18 +294,18 @@ def refine_points_only(cam: Camera, prob: BAProblem, iters: int = 3,
     return prob_out
 
 
-@partial(jax.jit, static_argnames=("iters", "use_huber"))
+@partial(jax.jit, static_argnames=("iters", "use_huber", "o_group"))
 def run_lm(cam: Camera, prob: BAProblem, iters: int, use_huber: bool = True,
-           lam0: float = 1e-4):
+           lam0: float = 1e-4, o_group: int = 0):
     """LM loop with accept/reject, fixed iteration count (jit-friendly)."""
 
     def step(carry, _):
         prob_c, lam = carry
-        dpose, dpt = _solve_one_lm_step(cam, prob_c, lam, use_huber)
+        dpose, dpt = _solve_one_lm_step(cam, prob_c, lam, use_huber,
+                                        o_group)
         cand = _apply_step(prob_c, dpose, dpt)
-        improved = _robust_cost(cam, cand, use_huber) < _robust_cost(
-            cam, prob_c, use_huber
-        )
+        improved = _robust_cost(cam, cand, use_huber, o_group) \
+            < _robust_cost(cam, prob_c, use_huber, o_group)
         prob_n = jax.tree.map(
             lambda a, b: jnp.where(improved, a, b), cand, prob_c
         )
@@ -271,16 +320,17 @@ def run_lm(cam: Camera, prob: BAProblem, iters: int, use_huber: bool = True,
     return prob_out
 
 
-def edge_chi2_depth(cam: Camera, prob: BAProblem):
+def edge_chi2_depth(cam: Camera, prob: BAProblem, o_group: int = 0):
     """Per-edge chi2 and camera-frame depth at the current estimate."""
-    e, _, _, z = _edge_residuals(cam, prob, want_point=False)
+    e, _, _, z = _edge_residuals(cam, prob, want_point=False,
+                                 o_group=o_group)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
     return chi2, z
 
 
-@partial(jax.jit, static_argnames=("iters1", "iters2"))
+@partial(jax.jit, static_argnames=("iters1", "iters2", "o_group"))
 def bundle_adjust(cam: Camera, prob: BAProblem, iters1: int = 5,
-                  iters2: int = 10):
+                  iters2: int = 10, o_group: int = 0):
     """Two-phase BA mirroring Optimizer::LocalBundleAdjustment
     (src/Optimizer.cc:659-707): optimize `iters1` with Huber, drop edges
     with chi2 > 5.991 or non-positive depth, optimize `iters2` more without
@@ -299,15 +349,18 @@ def bundle_adjust(cam: Camera, prob: BAProblem, iters1: int = 5,
     """
     valid0 = prob.edge_valid
     gate = _chi2_gate(prob)  # 5.991 mono / 7.815 stereo, per edge
-    prob = refine_points_only(cam, prob, 3, use_huber=True)
-    prob = run_lm(cam, prob, iters1, use_huber=True)
-    prob = refine_points_only(cam, prob, 2, use_huber=True)
-    chi2, z = edge_chi2_depth(cam, prob)
+    prob = refine_points_only(cam, prob, 3, use_huber=True,
+                              o_group=o_group)
+    prob = run_lm(cam, prob, iters1, use_huber=True, o_group=o_group)
+    prob = refine_points_only(cam, prob, 2, use_huber=True,
+                              o_group=o_group)
+    chi2, z = edge_chi2_depth(cam, prob, o_group)
     keep = valid0 & (chi2 <= 4.0 * gate) & (z > 0)
     prob = prob._replace(edge_valid=keep)
-    prob = run_lm(cam, prob, iters2, use_huber=False)
-    prob = refine_points_only(cam, prob, 2, use_huber=False)
-    chi2, z = edge_chi2_depth(cam, prob)
+    prob = run_lm(cam, prob, iters2, use_huber=False, o_group=o_group)
+    prob = refine_points_only(cam, prob, 2, use_huber=False,
+                              o_group=o_group)
+    chi2, z = edge_chi2_depth(cam, prob, o_group)
     inlier = valid0 & (chi2 <= gate) & (z > 0)
     # keep written-back poses exactly on SO(3) (see se3.renormalize)
     prob = prob._replace(kf_pose=se3.renormalize(prob.kf_pose))

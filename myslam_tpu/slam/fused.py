@@ -1,0 +1,400 @@
+"""Fully-fused tracking: the whole per-frame SLAM step as ONE device program.
+
+The host-driven Tracker (slam/tracking.py) mirrors the reference's
+control flow with Python branches; that costs ~8 host-device round trips
+per frame — fatal when the chip sits behind a high-latency link and still
+wasteful on a local PCIe chip. This module compiles the complete OK-state
+step — motion-model matching, pose optimization (with fallback
+reference-KF matching as a computed select), local-map tracking, the
+keyframe decision, and the ENTIRE keyframe-insertion pass (depth points,
+point culling, triangulation with covisible neighbors, fuse, local
+Schur-complement BA) — into one jitted function with `lax.cond` gating
+the keyframe branch, plus a `lax.scan` wrapper that tracks a CHUNK of
+frames per dispatch (one host sync per chunk).
+
+This is the reference's three-thread pipeline (SURVEY.md §2.4) re-drawn
+for a TPU: Tracking + LocalMapping become sections of one compiled
+program; the rare, host-paced events (monocular bootstrap, relocalization
+after loss, loop closing, keyframe culling under arena pressure) stay on
+the host and are entered only when the fused step reports them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..features.frame import FrameFeatures
+from ..geom import projection, se3
+from ..geom.projection import Camera
+from ..mapping import local_mapping, map_store
+from ..mapping.map_store import NO_POINT, MapStore
+from . import tracking
+from .tracking import (OK, LOST, TrackingConfig,
+                       _local_map_harvest, _local_map_match,
+                       _motion_model_match, _pose_optimize,
+                       _reference_kf_match)
+
+
+@struct.dataclass
+class TrackState:
+    """Device-resident tracking state (everything the per-frame step
+    reads or writes; the host holds only a mirror for rare events)."""
+
+    store: MapStore
+    Tcw: jnp.ndarray            # [3, 4]
+    velocity: jnp.ndarray       # [3, 4] relative motion T_cur_last
+    has_velocity: jnp.ndarray   # [] bool
+    last_obs: jnp.ndarray       # [F] i32
+    last_level: jnp.ndarray     # [F] i32
+    last_angle: jnp.ndarray     # [F] f32
+    ref_kf: jnp.ndarray         # [] i32
+    last_kf_frame: jnp.ndarray  # [] i32
+    frame_id: jnp.ndarray       # [] i32
+    lost: jnp.ndarray           # [] bool
+
+
+_FUSED_CACHE = {}
+
+
+def get_fused_tracker(cam: Camera, cfg: TrackingConfig) -> "FusedTracker":
+    """Shared FusedTracker instances: compiling the fused step is
+    expensive, and jit caches are per-closure — reuse by (camera, config)
+    so many Tracker instances (tests, resets) share one compilation."""
+    import dataclasses
+
+    key = (tuple(float(np.asarray(v)) for v in
+                 (cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2,
+                  cam.p1, cam.p2, cam.k3, cam.width, cam.height)),
+           dataclasses.astuple(cfg))
+    if key not in _FUSED_CACHE:
+        _FUSED_CACHE[key] = FusedTracker(cam, cfg)
+    return _FUSED_CACHE[key]
+
+
+class FusedTracker:
+    """Compiles and runs the fused per-frame step.
+
+    Usage:
+        ft = FusedTracker(cam, cfg)
+        state = ft.state_from(tracker)          # after bootstrap
+        state, info = ft.step(state, feats, t)  # one frame, one dispatch
+        state, infos = ft.run_chunk(state, feats_chunk, ts)  # one sync
+        ft.write_back(state, tracker)           # before host-side events
+    """
+
+    def __init__(self, cam: Camera, cfg: TrackingConfig, extractor=None):
+        self.cam = cam
+        self.cfg = cfg
+        self.extractor = extractor
+        self._step = jax.jit(self._build_step())
+        self._chunk = jax.jit(self._build_chunk())
+        self._img_chunk = (jax.jit(self._build_image_chunk())
+                           if extractor is not None else None)
+
+    # ------------------------------------------------------------------
+    def state_from(self, tracker: tracking.Tracker) -> TrackState:
+        """Snapshot a host Tracker (must be state==OK) into device state."""
+        F = self.cfg.feat_cap
+        lf = tracker.last_feats
+        return TrackState(
+            store=tracker.store,
+            Tcw=jnp.asarray(tracker.Tcw),
+            velocity=(jnp.asarray(tracker.velocity)
+                      if tracker.velocity is not None else se3.identity()),
+            has_velocity=jnp.asarray(tracker.velocity is not None),
+            last_obs=jnp.asarray(tracker.last_obs),
+            last_level=(lf.level if lf is not None
+                        else jnp.zeros(F, jnp.int32)),
+            last_angle=(lf.angle if lf is not None
+                        else jnp.zeros(F, jnp.float32)),
+            ref_kf=jnp.asarray(tracker.ref_kf, jnp.int32),
+            last_kf_frame=jnp.asarray(tracker.last_kf_frame, jnp.int32),
+            frame_id=jnp.asarray(tracker.frame_id, jnp.int32),
+            lost=jnp.asarray(False),
+        )
+
+    def write_back(self, state: TrackState, tracker: tracking.Tracker,
+                   last_feats: Optional[FrameFeatures] = None):
+        """Mirror device state back into a host Tracker (for host-side
+        events: relocalization, loop closing, saving)."""
+        tracker.store = state.store
+        tracker.Tcw = state.Tcw
+        tracker._last_Tcw = state.Tcw
+        hv = bool(state.has_velocity)
+        tracker.velocity = state.velocity if hv else None
+        tracker.last_obs = state.last_obs
+        if last_feats is not None:
+            tracker.last_feats = last_feats
+        tracker.ref_kf = int(state.ref_kf)
+        tracker.last_kf_frame = int(state.last_kf_frame)
+        tracker.frame_id = int(state.frame_id)
+        tracker.n_kf = int(state.store.kf_valid.sum())
+        tracker.state = LOST if bool(state.lost) else OK
+
+    def step(self, state, feats, timestamp):
+        return self._step(state, feats, jnp.float32(timestamp))
+
+    def run_chunk(self, state, feats_chunk, timestamps):
+        """Track a chunk of frames in one dispatch. feats_chunk is a
+        FrameFeatures pytree with a leading chunk axis."""
+        return self._chunk(state, feats_chunk,
+                           jnp.asarray(timestamps, jnp.float32))
+
+    def run_images(self, state, images, timestamps):
+        """Extraction + tracking over a chunk of raw images [C, H, W] in
+        ONE dispatch — the minimum-host-interaction production mode
+        (requires an extractor at construction)."""
+        return self._img_chunk(state, jnp.asarray(images, jnp.float32),
+                               jnp.asarray(timestamps, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def _build_chunk(self):
+        step = self._build_step()
+
+        def chunk(state, feats_chunk, timestamps):
+            def body(st, x):
+                feats, ts = x
+                st2, info = step(st, feats, ts)
+                return st2, info
+
+            return jax.lax.scan(body, state, (feats_chunk, timestamps))
+
+        return chunk
+
+    def _build_image_chunk(self):
+        step = self._build_step()
+        extract = self.extractor._build()
+        cam = self.cam
+
+        def chunk(state, images, timestamps):
+            def body(st, x):
+                img, ts = x
+                feats = extract(img)
+                und = projection.undistort_points(cam, feats.xy_raw)
+                feats = feats.replace(
+                    xy=jnp.where(feats.valid[:, None], und, 0.0))
+                st2, info = step(st, feats, ts)
+                return st2, info
+
+            return jax.lax.scan(body, state, (images, timestamps))
+
+        return chunk
+
+    def _build_step(self):
+        cam = self.cam
+        cfg = self.cfg
+        sensor = cfg.sensor
+        bf = float(cfg.bf)
+        F = cfg.feat_cap
+
+        def select(pred, a, b):
+            return jax.tree.map(
+                lambda x, y: jnp.where(pred, x, y), a, b)
+
+        # ---------------- keyframe-insertion branch ----------------
+        def insert_keyframe(args):
+            store, Tcw, feats, cur_obs, frame_id, timestamp = args
+            store, kf_id = map_store.add_keyframe(
+                store, Tcw, feats, cur_obs, frame_id, timestamp)
+
+            if sensor != 0:
+                # unproject close-depth features without a point
+                # (src/Tracking.cc:1086-1142)
+                no_obs = store.kf_obs[kf_id] < 0
+                dd = jnp.where(feats.valid & no_obs & (feats.depth > 0),
+                               feats.depth, jnp.inf)
+                order = jnp.argsort(dd)
+                rank = jnp.zeros(F, jnp.int32).at[order].set(
+                    jnp.arange(F, dtype=jnp.int32))
+                want = jnp.isfinite(dd) & ((dd < cfg.th_depth)
+                                           | (rank < 100))
+                slots = map_store.allocate_points(store, want)
+                xyz_c = projection.backproject(cam, feats.xy, feats.depth)
+                xyz_w = se3.transform(se3.inverse(Tcw), xyz_c)
+                store = map_store.write_points(
+                    store, slots, xyz=xyz_w, desc=feats.desc,
+                    normal=jnp.zeros((F, 3)), min_dist=jnp.zeros(F),
+                    max_dist=jnp.ones(F),
+                    ref_kf=jnp.full(F, 1, jnp.int32) * kf_id,
+                    ref_level=feats.level,
+                    first_kf=jnp.full(F, 1, jnp.int32)
+                    * store.kf_seq[kf_id])
+                store = map_store.set_observations(
+                    store, kf_id, jnp.arange(F), slots, slots >= 0)
+
+            own = store.kf_obs[kf_id]
+            store = map_store.refresh_point_stats(
+                store, jnp.where(own >= 0, own, -1))
+            store = local_mapping.cull_points(store, kf_id)
+
+            # triangulate with the best covisible neighbors
+            nb_ids, _ = local_mapping.top_covisible(
+                store, kf_id, cfg.tri_neighbors)
+
+            def tri_body(st, nb):
+                st2 = jax.lax.cond(
+                    nb >= 0,
+                    lambda s: local_mapping._triangulate_and_insert(
+                        s, cam, kf_id, jnp.maximum(nb, 0),
+                        cfg.max_new_points),
+                    lambda s: s, st)
+                return st2, None
+
+            store, _ = jax.lax.scan(tri_body, store, nb_ids)
+
+            # fuse with the top neighbors (SearchInNeighbors)
+            def fuse_body(st, nb):
+                def run(s):
+                    own_pts = s.kf_obs[kf_id]
+                    s = local_mapping.fuse_into_keyframe(
+                        s, cam, jnp.maximum(nb, 0), own_pts, own_pts >= 0)
+                    nb_pts = s.kf_obs[jnp.maximum(nb, 0)]
+                    return local_mapping.fuse_into_keyframe(
+                        s, cam, kf_id, nb_pts, nb_pts >= 0)
+
+                return jax.lax.cond(nb >= 0, run, lambda s: s, st), None
+
+            store, _ = jax.lax.scan(fuse_body, store, nb_ids[:3])
+            own = store.kf_obs[kf_id]
+            store = map_store.refresh_point_stats(
+                store, jnp.where(own >= 0, own, -1))
+
+            # local BA once the map has >2 keyframes
+            def run_ba(s):
+                prob, kf_slots, pt_slots, e_feat, e_src = \
+                    local_mapping.build_local_ba(
+                        s, kf_id, cfg.ba_free, cfg.ba_fixed, cfg.ba_pts,
+                        cfg.ba_obs, stereo=sensor != 0, bf=bf)
+                from ..optim import ba as ba_mod
+                prob, inlier = ba_mod.bundle_adjust(
+                    cam, prob, 10, 15, o_group=cfg.ba_obs)
+                return local_mapping.apply_local_ba(
+                    s, prob, inlier, kf_slots, pt_slots, e_feat, e_src)
+
+            n_kf = jnp.sum(store.kf_valid.astype(jnp.int32))
+            store = jax.lax.cond(n_kf > 2, run_ba, lambda s: s, store)
+            return store, kf_id
+
+        # ---------------- the per-frame step ----------------
+        def step(state: TrackState, feats: FrameFeatures, timestamp):
+            store = state.store
+
+            # --- initial pose: motion model with widening retry,
+            #     reference-KF matching as computed fallback ---
+            T_pred = select(state.has_velocity,
+                            se3.compose(state.velocity, state.Tcw),
+                            state.Tcw)
+            obs_a = _motion_model_match(
+                store, cam, T_pred, feats, state.last_obs,
+                state.last_level, state.last_angle)
+            n_a = jnp.sum((obs_a >= 0).astype(jnp.int32))
+            n_last = jnp.maximum(
+                jnp.sum((state.last_obs >= 0).astype(jnp.int32)), 1)
+            need_wide = n_a < jnp.maximum(cfg.min_track_matches, n_last // 2)
+            obs_b = _motion_model_match(
+                store, cam, T_pred, feats, state.last_obs,
+                state.last_level, state.last_angle, th=30.0)
+            obs_mm = jnp.where(need_wide, obs_b, obs_a)
+            n_mm = jnp.sum((obs_mm >= 0).astype(jnp.int32))
+
+            T1, obs1, n1 = _pose_optimize(
+                store, cam, T_pred, feats, obs_mm, bf, escape=False)
+            mm_ok = (state.has_velocity & (n_mm >= cfg.min_track_matches)
+                     & (n1 >= cfg.min_track_inliers))
+
+            obs_r = _reference_kf_match(store, cam, feats, state.ref_kf)
+            T2, obs2, n2 = _pose_optimize(
+                store, cam, state.Tcw, feats, obs_r, bf, escape=False)
+            ref_ok = ((jnp.sum((obs_r >= 0).astype(jnp.int32))
+                       >= cfg.min_track_matches // 2)
+                      & (n2 >= cfg.min_track_inliers))
+
+            tracked_pre = mm_ok | ref_ok
+            Tcw = select(mm_ok, T1, T2)
+            cur_obs = jnp.where(mm_ok, obs1, obs2)
+
+            # --- local-map tracking ---
+            pt_ids, local_ids, local_on = _local_map_harvest(
+                store, cur_obs, cfg.local_kf, cfg.local_pts)
+            cur_obs, visible = _local_map_match(
+                store, cam, Tcw, feats, cur_obs, pt_ids)
+            Tcw, cur_obs, n_in = _pose_optimize(
+                store, cam, Tcw, feats, cur_obs, bf)
+            store = map_store.bump_counters(
+                store, visible, jnp.where(cur_obs >= 0, cur_obs, -1))
+
+            tracked = tracked_pre & (n_in >= cfg.min_local_inliers)
+            lost = ~tracked
+
+            # --- keyframe decision (src/Tracking.cc:984-1068) ---
+            n_kf = jnp.sum(store.kf_valid.astype(jnp.int32))
+            cap_ok = n_kf < cfg.kf_cap - 2
+            gap_ok = (state.frame_id
+                      >= state.last_kf_frame + cfg.min_frames_between_kf)
+            ref_tracked = jnp.sum(
+                (store.kf_obs[state.ref_kf] >= 0).astype(jnp.int32))
+            c1a = (state.frame_id
+                   >= state.last_kf_frame + cfg.max_frames_between_kf)
+            c2 = ((n_in < 0.9 * ref_tracked)
+                  & (n_in < 0.7 * ref_tracked))
+            T_ref = store.kf_pose[state.ref_kf]
+            base = jnp.linalg.norm(
+                se3.camera_center(Tcw) - se3.camera_center(T_ref))
+            med = local_mapping.scene_median_depth(store, state.ref_kf)
+            geo_t = base > cfg.kf_baseline_ratio * jnp.maximum(med, 1e-6)
+            R_rel = se3.rotation(Tcw) @ se3.rotation(T_ref).T
+            ang = jnp.degrees(jnp.arccos(jnp.clip(
+                (jnp.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0)))
+            geo_r = ang > cfg.kf_rotation_deg
+            need = c1a | c2 | geo_t | geo_r
+            if sensor != 0:
+                close = (feats.valid & (feats.depth > 0)
+                         & (feats.depth < cfg.th_depth))
+                tracked_close = jnp.sum(
+                    (close & (cur_obs >= 0)).astype(jnp.int32))
+                untracked_close = jnp.sum(
+                    (close & (cur_obs < 0)).astype(jnp.int32))
+                need = need | ((tracked_close < 100)
+                               & (untracked_close > 70))
+            need_kf = tracked & cap_ok & gap_ok & (n_in > 15) & need
+
+            store2, kf_id = jax.lax.cond(
+                need_kf, insert_keyframe,
+                lambda args: (args[0], state.ref_kf),
+                (store, Tcw, feats, cur_obs, state.frame_id, timestamp))
+            # after insertion the keyframe row is authoritative (map
+            # surgery may have remapped point slots)
+            cur_obs = jnp.where(need_kf, store2.kf_obs[kf_id], cur_obs)
+            Tcw = select(need_kf, store2.kf_pose[kf_id], Tcw)
+
+            velocity = se3.compose(Tcw, se3.inverse(state.Tcw))
+            new_state = TrackState(
+                store=store2,
+                Tcw=Tcw,
+                velocity=select(tracked, velocity, se3.identity()),
+                has_velocity=tracked,
+                last_obs=jnp.where(tracked, cur_obs,
+                                   jnp.full(F, NO_POINT, jnp.int32)),
+                last_level=feats.level,
+                last_angle=feats.angle,
+                ref_kf=jnp.where(need_kf, kf_id, state.ref_kf),
+                last_kf_frame=jnp.where(need_kf, state.frame_id,
+                                        state.last_kf_frame),
+                frame_id=state.frame_id + 1,
+                lost=lost,
+            )
+            # when lost, freeze the map/pose so the host can relocalize
+            new_state = select(tracked, new_state,
+                               state.replace(lost=jnp.asarray(True),
+                                             frame_id=state.frame_id + 1))
+            info = {"Tcw": Tcw, "tracked": tracked, "n_inliers": n_in,
+                    "new_kf": need_kf}
+            return new_state, info
+
+        return step

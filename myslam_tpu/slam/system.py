@@ -215,10 +215,12 @@ class System:
         tr = self.tracker
         insert = tr._insert_keyframe
         tr._insert_keyframe = lambda *a, **k: None
+        tr.force_host = True  # the fused path has its own KF branch
         try:
             ok = tr.process_frame(feats, self._frame_id, timestamp)
         finally:
             tr._insert_keyframe = insert
+            tr.force_host = False
         return ok
 
     # ------------------------------------------------------------------

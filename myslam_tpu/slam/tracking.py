@@ -62,6 +62,9 @@ class TrackingConfig:
     # loop closing
     enable_loop_closing: bool = True
     vocab_words: int = 512
+    # OK-state fast path: run the whole per-frame step as ONE device
+    # program (slam/fused.py) — one host sync per frame instead of ~8.
+    use_fused: bool = True
     # sensor (0 = monocular, 1 = stereo, 2 = RGB-D; reference
     # System::eSensor include/System.h:55-60)
     sensor: int = 0
@@ -138,17 +141,20 @@ def _reference_kf_match(store: MapStore, cam: Camera, feats, ref_kf):
     return obs
 
 
-@jax.jit
-def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs, bf=0.0):
+@partial(jax.jit, static_argnames=("escape",))
+def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs, bf=0.0,
+                   escape: bool = True):
     """PoseOptimization on the current associations; drops outlier
     associations (Tracking.cc:785-807 usage of Optimizer::PoseOptimization).
     Stereo/RGB-D frames carry u_right and get 3D edges
-    (src/Optimizer.cc:338)."""
+    (src/Optimizer.cc:338). escape=False skips the multi-start valley
+    escape — used for the intermediate per-frame optimizations whose
+    result is refined again by the final local-map pass."""
     xyz, valid = _frame_point_data(store, obs)
     inv_s2 = 1.0 / store.level_sigma2(feats.level)
     Tcw, inlier, n = pose_opt.optimize_pose(
         cam, Tcw0, xyz, feats.xy, inv_s2, valid,
-        u_right=feats.u_right, bf=bf)
+        u_right=feats.u_right, bf=bf, escape_valley=escape)
     obs_out = jnp.where(inlier, obs, NO_POINT)
     return Tcw, obs_out, n
 
@@ -237,6 +243,9 @@ class Tracker:
         self.rng = jax.random.PRNGKey(0)  # deterministic like the
         # reference's SeedRandOnce(0) (src/Initializer.cc:80)
         self.loop_closer = None           # created after initialization
+        self.force_host = False           # localization mode etc.
+        self._fused = None                # FusedTracker (lazy)
+        self._fstate = None               # device TrackState mirror
 
     # ------------------------------------------------------------------
     def process_frame(self, feats: FrameFeatures, frame_id: int,
@@ -247,13 +256,54 @@ class Tracker:
         if self.state == NOT_INITIALIZED:
             tracked = self._try_initialize(feats, frame_id, timestamp)
         elif self.state == OK:
-            tracked = self._track(feats, frame_id, timestamp)
+            if self.cfg.use_fused and not self.force_host:
+                tracked = self._track_fused(feats, frame_id, timestamp)
+            else:
+                self._fstate = None  # host path mutates the store
+                tracked = self._track(feats, frame_id, timestamp)
         else:
+            self._fstate = None
             tracked = self._relocalize(feats, frame_id, timestamp)
         if tracked:
-            self.trajectory.append(
-                (frame_id, timestamp, np.asarray(self.Tcw)))
+            # device array kept as-is: converting here would force a
+            # host sync per frame; savers convert lazily
+            self.trajectory.append((frame_id, timestamp, self.Tcw))
         return tracked
+
+    def _track_fused(self, feats, frame_id, timestamp) -> bool:
+        """OK-state fast path: one fused device step per frame
+        (slam/fused.py), host sync only for the small info scalars; host
+        events (loop closing, keyframe culling) run at keyframe
+        boundaries."""
+        from .fused import get_fused_tracker
+
+        if self._fused is None:
+            self._fused = get_fused_tracker(self.cam, self.cfg)
+        if self._fstate is None:
+            self._fstate = self._fused.state_from(self)
+        st, info = self._fused.step(self._fstate, feats, timestamp)
+        info = jax.device_get(info)  # ONE host sync for all scalars
+        self._fstate = st
+        self.Tcw = st.Tcw
+        self._last_Tcw = st.Tcw
+        self.n_last_inliers = int(info["n_inliers"])
+        if not bool(info["tracked"]):
+            self._fused.write_back(st, self, last_feats=feats)
+            self._fstate = None
+            self.state = LOST
+            self.velocity = None
+            return False
+        if bool(info["new_kf"]):
+            # mirror to host, run loop closing / culling, re-snapshot
+            self._fused.write_back(st, self, last_feats=feats)
+            self.n_kf = int(st.store.kf_valid.sum())
+            kf_id = int(st.ref_kf)
+            self._post_keyframe_events(kf_id)
+            self.Tcw = self.store.kf_pose[kf_id]
+            self.last_obs = self.store.kf_obs[kf_id]
+            self.last_feats = feats
+            self._fstate = None
+        return True
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -455,7 +505,8 @@ class Tracker:
                 n_mm = int((obs >= 0).sum())
             if n_mm >= cfg.min_track_matches:
                 Tcw, obs, n = _pose_optimize(
-                    self.store, self.cam, T_pred, feats, obs, self.cfg.bf)
+                    self.store, self.cam, T_pred, feats, obs, self.cfg.bf,
+                    escape=False)
                 if int(n) >= cfg.min_track_inliers:
                     self.Tcw, cur_obs, tracked = Tcw, obs, True
 
@@ -463,7 +514,8 @@ class Tracker:
             obs = _reference_kf_match(self.store, self.cam, feats, self.ref_kf)
             if int((obs >= 0).sum()) >= cfg.min_track_matches // 2:
                 Tcw, obs, n = _pose_optimize(
-                    self.store, self.cam, self.Tcw, feats, obs, self.cfg.bf)
+                    self.store, self.cam, self.Tcw, feats, obs, self.cfg.bf,
+                    escape=False)
                 if int(n) >= cfg.min_track_inliers:
                     self.Tcw, cur_obs, tracked = Tcw, obs, True
 
@@ -613,6 +665,17 @@ class Tracker:
                 store, self.cam, kf_id, cfg.ba_free, cfg.ba_fixed,
                 cfg.ba_pts, cfg.ba_obs,
                 stereo=cfg.sensor != 0, bf=cfg.bf)
+        self.store = store
+        self._post_keyframe_events(kf_id)
+        # keep the tracker's pose in sync with the adjusted keyframe
+        self.Tcw = self.store.kf_pose[kf_id]
+
+    def _post_keyframe_events(self, kf_id: int):
+        """Host-paced per-keyframe events shared by the host path and the
+        fused fast path: capacity-pressure keyframe culling and the
+        loop-closing pass. Mutates self.store / self.loop_closer /
+        self.velocity / self.n_kf."""
+        store = self.store
         # KeyFrameCulling — capacity-pressure policy: the redundancy rule
         # (reference src/LocalMapping.cc:634) exists to bound map size, but
         # culling early keyframes deletes the LONG-BASELINE observations
@@ -643,10 +706,7 @@ class Tracker:
                     store = lc.correct(store, self.cam, kf_id, cand, S)
                     # map moved globally: reset the motion model
                     self.velocity = None
-
         self.store = store
-        # keep the tracker's pose in sync with the adjusted keyframe
-        self.Tcw = store.kf_pose[kf_id]
 
     # ------------------------------------------------------------------
     def _relocalize(self, feats, frame_id, timestamp) -> bool:
