@@ -41,14 +41,31 @@ def triangulate_dlt(P1, P2, x1, x2):
     r1, r2 = rows(P1, x1)
     r3, r4 = rows(P2, x2)
     A = jnp.stack([r1, r2, r3, r4], axis=-2)  # [..., 4, 4]
-    # Null vector of A = eigenvector of A^T A with smallest eigenvalue.
-    # 4x4 symmetric eigendecomposition is batched and cheap on TPU.
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    h = vecs[..., :, 0]  # smallest eigenvalue first for eigh
-    w = h[..., 3]
-    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return h[..., :3] / safe_w[..., None]
+    # Inhomogeneous DLT: fix the homogeneous coordinate w=1 and solve the
+    # 4x3 least-squares B X = -c in closed form (adjugate 3x3 inverse).
+    # Unlike the homogeneous eigen-null-vector (upstream uses cv::SVD,
+    # src/LocalMapping.cc:302-310), this is pure elementwise math — batched
+    # small eigendecompositions serialize on TPU. Points near infinity get
+    # a near-singular normal matrix and come back huge; callers gate on
+    # depth/parallax exactly as the reference does.
+    B = A[..., :3]                                   # [..., 4, 3]
+    c = A[..., 3]                                    # [..., 4]
+    BtB = jnp.swapaxes(B, -1, -2) @ B                # [..., 3, 3]
+    Btc = jnp.einsum("...ij,...i->...j", B, c)
+    a, b_, cc = BtB[..., 0, 0], BtB[..., 0, 1], BtB[..., 0, 2]
+    d, e, f = BtB[..., 1, 0], BtB[..., 1, 1], BtB[..., 1, 2]
+    g, h_, i = BtB[..., 2, 0], BtB[..., 2, 1], BtB[..., 2, 2]
+    A00 = e * i - f * h_
+    A01 = -(d * i - f * g)
+    A02 = d * h_ - e * g
+    det = a * A00 + b_ * A01 + cc * A02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        jnp.stack([A00, -(b_ * i - cc * h_), (b_ * f - cc * e)], axis=-1),
+        jnp.stack([A01, (a * i - cc * g), -(a * f - cc * d)], axis=-1),
+        jnp.stack([A02, -(a * h_ - b_ * g), (a * e - b_ * d)], axis=-1),
+    ], axis=-2)
+    return -inv_det[..., None] * jnp.einsum("...ij,...j->...i", adj, Btc)
 
 
 def parallax_cos(Tcw1, Tcw2, xyz):

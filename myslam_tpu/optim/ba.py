@@ -279,11 +279,11 @@ def refine_points_only(cam: Camera, prob: BAProblem, iters: int = 3,
                   prob_c.edge_pt, (P, 3))
         dpt = jnp.einsum("pij,pj->pi", _inv3x3(Hll), bl)
         cand = prob_c._replace(pt_xyz=prob_c.pt_xyz + dpt)
-        # accept per point: compare per-point chi2 sums
-        c_old, _ = edge_chi2_depth(cam, prob_c, o_group)
+        # accept per point: compare per-point chi2 sums (chi2 at the
+        # current estimate is already in hand from _edge_terms)
         c_new, z_new = edge_chi2_depth(cam, cand, o_group)
         val = prob_c.edge_valid
-        old_p = psum(jnp.where(val, c_old, 0.0), prob_c.edge_pt, (P,))
+        old_p = psum(jnp.where(val, chi2, 0.0), prob_c.edge_pt, (P,))
         new_p = psum(jnp.where(val, jnp.where(z_new > 0, c_new, 1e12), 0.0),
                      prob_c.edge_pt, (P,))
         take = (new_p < old_p)[:, None]
@@ -300,22 +300,23 @@ def run_lm(cam: Camera, prob: BAProblem, iters: int, use_huber: bool = True,
     """LM loop with accept/reject, fixed iteration count (jit-friendly)."""
 
     def step(carry, _):
-        prob_c, lam = carry
+        prob_c, lam, cost_c = carry
         dpose, dpt = _solve_one_lm_step(cam, prob_c, lam, use_huber,
                                         o_group)
         cand = _apply_step(prob_c, dpose, dpt)
-        improved = _robust_cost(cam, cand, use_huber, o_group) \
-            < _robust_cost(cam, prob_c, use_huber, o_group)
+        cost_n = _robust_cost(cam, cand, use_huber, o_group)
+        improved = cost_n < cost_c  # current cost carried, not recomputed
         prob_n = jax.tree.map(
             lambda a, b: jnp.where(improved, a, b), cand, prob_c
         )
         lam_n = jnp.clip(
             jnp.where(improved, lam * 0.5, lam * 4.0), 1e-10, 1e8
         )
-        return (prob_n, lam_n), None
+        return (prob_n, lam_n, jnp.where(improved, cost_n, cost_c)), None
 
-    (prob_out, _), _ = jax.lax.scan(
-        step, (prob, jnp.float32(lam0)), None, length=iters
+    cost0 = _robust_cost(cam, prob, use_huber, o_group)
+    (prob_out, _, _), _ = jax.lax.scan(
+        step, (prob, jnp.float32(lam0), cost0), None, length=iters
     )
     return prob_out
 
@@ -349,16 +350,16 @@ def bundle_adjust(cam: Camera, prob: BAProblem, iters1: int = 5,
     """
     valid0 = prob.edge_valid
     gate = _chi2_gate(prob)  # 5.991 mono / 7.815 stereo, per edge
-    prob = refine_points_only(cam, prob, 3, use_huber=True,
+    prob = refine_points_only(cam, prob, 2, use_huber=True,
                               o_group=o_group)
     prob = run_lm(cam, prob, iters1, use_huber=True, o_group=o_group)
-    prob = refine_points_only(cam, prob, 2, use_huber=True,
+    prob = refine_points_only(cam, prob, 1, use_huber=True,
                               o_group=o_group)
     chi2, z = edge_chi2_depth(cam, prob, o_group)
     keep = valid0 & (chi2 <= 4.0 * gate) & (z > 0)
     prob = prob._replace(edge_valid=keep)
     prob = run_lm(cam, prob, iters2, use_huber=False, o_group=o_group)
-    prob = refine_points_only(cam, prob, 2, use_huber=False,
+    prob = refine_points_only(cam, prob, 1, use_huber=False,
                               o_group=o_group)
     chi2, z = edge_chi2_depth(cam, prob, o_group)
     inlier = valid0 & (chi2 <= gate) & (z > 0)

@@ -149,8 +149,10 @@ class FusedTracker:
     def run_images(self, state, images, timestamps):
         """Extraction + tracking over a chunk of raw images [C, H, W] in
         ONE dispatch — the minimum-host-interaction production mode
-        (requires an extractor at construction)."""
-        return self._img_chunk(state, jnp.asarray(images, jnp.float32),
+        (requires an extractor at construction). Pass uint8 images where
+        possible: they cross the host-device link 4x cheaper and are
+        widened on device."""
+        return self._img_chunk(state, jnp.asarray(images),
                                jnp.asarray(timestamps, jnp.float32))
 
     # ------------------------------------------------------------------
@@ -175,6 +177,7 @@ class FusedTracker:
         def chunk(state, images, timestamps):
             def body(st, x):
                 img, ts = x
+                img = img.astype(jnp.float32)  # uint8 transfers widen here
                 feats = extract(img)
                 und = projection.undistort_points(cam, feats.xy_raw)
                 feats = feats.replace(
@@ -260,7 +263,8 @@ class FusedTracker:
 
                 return jax.lax.cond(nb >= 0, run, lambda s: s, st), None
 
-            store, _ = jax.lax.scan(fuse_body, store, nb_ids[:3])
+            store, _ = jax.lax.scan(fuse_body, store,
+                                    nb_ids[:cfg.fuse_neighbors])
             own = store.kf_obs[kf_id]
             store = map_store.refresh_point_stats(
                 store, jnp.where(own >= 0, own, -1))
@@ -273,7 +277,8 @@ class FusedTracker:
                         cfg.ba_obs, stereo=sensor != 0, bf=bf)
                 from ..optim import ba as ba_mod
                 prob, inlier = ba_mod.bundle_adjust(
-                    cam, prob, 10, 15, o_group=cfg.ba_obs)
+                    cam, prob, cfg.ba_iters1, cfg.ba_iters2,
+                    o_group=cfg.ba_obs)
                 return local_mapping.apply_local_ba(
                     s, prob, inlier, kf_slots, pt_slots, e_feat, e_src)
 
@@ -308,16 +313,24 @@ class FusedTracker:
             mm_ok = (state.has_velocity & (n_mm >= cfg.min_track_matches)
                      & (n1 >= cfg.min_track_inliers))
 
-            obs_r = _reference_kf_match(store, cam, feats, state.ref_kf)
-            T2, obs2, n2 = _pose_optimize(
-                store, cam, state.Tcw, feats, obs_r, bf, escape=False)
-            ref_ok = ((jnp.sum((obs_r >= 0).astype(jnp.int32))
+            # reference-KF fallback (src/Tracking.cc:319) only runs when
+            # the motion model failed — lax.cond executes one branch
+            def ref_fallback(_):
+                obs_r = _reference_kf_match(store, cam, feats,
+                                            state.ref_kf)
+                T2, obs2, n2 = _pose_optimize(
+                    store, cam, state.Tcw, feats, obs_r, bf, escape=False)
+                ok = ((jnp.sum((obs_r >= 0).astype(jnp.int32))
                        >= cfg.min_track_matches // 2)
                       & (n2 >= cfg.min_track_inliers))
+                return T2, obs2, ok
 
-            tracked_pre = mm_ok | ref_ok
-            Tcw = select(mm_ok, T1, T2)
-            cur_obs = jnp.where(mm_ok, obs1, obs2)
+            def mm_passthrough(_):
+                return T1, obs1, jnp.asarray(True)
+
+            Tcw, cur_obs, path_ok = jax.lax.cond(
+                mm_ok, mm_passthrough, ref_fallback, None)
+            tracked_pre = path_ok
 
             # --- local-map tracking ---
             pt_ids, local_ids, local_on = _local_map_harvest(
@@ -337,8 +350,14 @@ class FusedTracker:
             cap_ok = n_kf < cfg.kf_cap - 2
             gap_ok = (state.frame_id
                       >= state.last_kf_frame + cfg.min_frames_between_kf)
+            # only points with >= 3 observations count
+            # (KeyFrame::TrackedMapPoints(3), src/Tracking.cc:1002-1006)
+            ref_obs = store.kf_obs[state.ref_kf]
+            obs_cnt = map_store.observation_count(store)
             ref_tracked = jnp.sum(
-                (store.kf_obs[state.ref_kf] >= 0).astype(jnp.int32))
+                ((ref_obs >= 0)
+                 & (obs_cnt[jnp.clip(ref_obs, 0, store.pt_cap - 1)] >= 3)
+                 ).astype(jnp.int32))
             c1a = (state.frame_id
                    >= state.last_kf_frame + cfg.max_frames_between_kf)
             c2 = ((n_in < 0.9 * ref_tracked)

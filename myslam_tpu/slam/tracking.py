@@ -56,9 +56,14 @@ class TrackingConfig:
     ba_fixed: int = 12
     ba_pts: int = 4096
     ba_obs: int = 10
+    # LM iteration budget (two-phase; reference does 5+10 with retrying
+    # inner lambda loops, src/Optimizer.cc:659-707)
+    ba_iters1: int = 8
+    ba_iters2: int = 12
     # mapping
     tri_neighbors: int = 6
     max_new_points: int = 512
+    fuse_neighbors: int = 2   # SearchInNeighbors breadth per insertion
     # loop closing
     enable_loop_closing: bool = True
     vocab_words: int = 512
@@ -589,7 +594,15 @@ class Tracker:
             untracked_close = int((close & (cur_obs < 0)).sum())
             if tracked_close < 100 and untracked_close > 70:
                 return True
-        ref_tracked = int((self.store.kf_obs[self.ref_kf] >= 0).sum())
+        # nRefMatches counts only WELL-OBSERVED points (>= 3 observations,
+        # KeyFrame::TrackedMapPoints(nMinObs=3), src/Tracking.cc:1002-1006)
+        # — counting raw associations inflates it with freshly-triangulated
+        # 2-view points and fires c2 after every insertion.
+        ref_obs = self.store.kf_obs[self.ref_kf]
+        cnt = map_store.observation_count(self.store)
+        ref_tracked = int(jnp.sum(
+            (ref_obs >= 0)
+            & (cnt[jnp.clip(ref_obs, 0, self.store.pt_cap - 1)] >= 3)))
         c1a = frame_id >= self.last_kf_frame + cfg.max_frames_between_kf
         c2 = n_inliers < ref_tracked * 0.9
         if c1a or (c2 and n_inliers < ref_tracked * 0.7):
@@ -658,12 +671,13 @@ class Tracker:
             store, self.cam, kf_id, nb_list, cfg.max_new_points)
         # SearchInNeighbors (fuse)
         store = local_mapping.search_in_neighbors(
-            store, self.cam, kf_id, nb_list[:3])
+            store, self.cam, kf_id, nb_list[:cfg.fuse_neighbors])
         # Local BA
         if self.n_kf > 2:
             store = local_mapping.local_bundle_adjustment(
                 store, self.cam, kf_id, cfg.ba_free, cfg.ba_fixed,
                 cfg.ba_pts, cfg.ba_obs,
+                iters1=cfg.ba_iters1, iters2=cfg.ba_iters2,
                 stereo=cfg.sensor != 0, bf=cfg.bf)
         self.store = store
         self._post_keyframe_events(kf_id)
