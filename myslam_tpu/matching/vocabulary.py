@@ -105,6 +105,81 @@ def train_vocabulary(descriptors, valid=None, n_words: int = 2048,
     return Vocabulary(words=cents, idf=idf)
 
 
+def load_dbow2_text(path: str, depth: int = 2,
+                    max_words: int = 4096) -> Vocabulary:
+    """Import a DBoW2 text vocabulary (the format the reference loads at
+    startup: ORBVocabulary::loadFromTextFile,
+    Thirdparty/DBoW2/.../TemplatedVocabulary.h:1338).
+
+    File format: header line `k L scoring weighting`, then one node per
+    line: `parent_id is_leaf d0..d31 weight` (32 descriptor bytes).
+
+    This framework scores BoW vectors densely over a FLAT word set, so a
+    k^L-leaf tree (the shipped ORB vocab has ~1M leaves) is quantized at
+    `depth` levels down from the root: those k^depth nodes' centroid
+    descriptors become the words (a coarser cut of the SAME tree —
+    exactly what descending only `depth` levels in DBoW2 would produce).
+    Node weights below each cut node accumulate into its idf weight.
+    """
+    parents, leaves, descs, weights = [], [], [], []
+    with open(path) as f:
+        header = f.readline().split()
+        k = int(header[0])
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaves.append(bool(int(parts[1])))
+            descs.append([int(v) for v in parts[2:34]])
+            weights.append(float(parts[34]))
+    n = len(parents)
+    parents = np.asarray(parents)
+    desc_u8 = np.asarray(descs, np.uint8)
+    weights = np.asarray(weights, np.float64)
+
+    # depth of each node (DBoW2 stores nodes in BFS order; root id 0 is
+    # implicit — stored node i has id i+1 and parent ids reference that
+    # numbering)
+    depth_of = np.zeros(n + 1, np.int32)  # +1 for the implicit root
+    for i in range(n):
+        depth_of[i + 1] = depth_of[parents[i]] + 1
+
+    # ancestor of each node at the cut depth
+    cut_ids = np.nonzero(depth_of == depth)[0]
+    if len(cut_ids) == 0 or len(cut_ids) > max_words:
+        raise ValueError(
+            f"cut at depth {depth} gives {len(cut_ids)} words "
+            f"(k={k}); pick a depth with <= {max_words}")
+    word_of = np.full(n + 1, -1, np.int64)
+    for w, nid in enumerate(cut_ids):
+        word_of[nid] = w
+    # propagate down the BFS order
+    for i in range(n):
+        nid = i + 1
+        if depth_of[nid] > depth and word_of[parents[i]] >= 0:
+            word_of[nid] = word_of[parents[i]]
+
+    # words = cut-node descriptors; idf = summed leaf weights below
+    W = len(cut_ids)
+    words_u8 = desc_u8[cut_ids - 1]  # node id -> storage row
+    idf = np.zeros(W, np.float64)
+    for i in range(n):
+        nid = i + 1
+        if leaves[i] and word_of[nid] >= 0:
+            idf[word_of[nid]] += max(weights[i], 0.0)
+    idf = np.where(idf > 0, idf, idf[idf > 0].mean() if (idf > 0).any()
+                   else 1.0)
+
+    words_u32 = words_u8.reshape(W, 8, 4)
+    packed = (words_u32[..., 0].astype(np.uint32)
+              | (words_u32[..., 1].astype(np.uint32) << 8)
+              | (words_u32[..., 2].astype(np.uint32) << 16)
+              | (words_u32[..., 3].astype(np.uint32) << 24))
+    return Vocabulary(words=jnp.asarray(packed),
+                      idf=jnp.asarray(idf, jnp.float32))
+
+
 @jax.jit
 def assign_words(vocab: Vocabulary, desc, valid):
     """[N, 8]u32 -> word ids [N] (argmin Hamming over the flat vocabulary)."""
