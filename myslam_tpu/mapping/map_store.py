@@ -209,20 +209,33 @@ def set_observations(store: MapStore, kf_id, feat_idx, pt_idx, ok):
 # derived structures
 # ---------------------------------------------------------------------------
 
-def _obs_counts_per_kf(store: MapStore, chunk: int = 16):
-    """[K, P] f32 observation counts per (keyframe, point) — computed by
-    chunked iota comparison instead of scatter (scatter is a ~26 ms
-    fallback on this backend, ops/indexing.py). Chunks bound the transient
-    [chunk, F, P] compare tensor."""
+def _obs_counts_per_kf(store: MapStore):
+    """[K, P] f32 observation counts per (keyframe, point).
+
+    Factored one-hot trick: split the point id into (hi, lo) digits and
+    contract the two SMALL one-hots on the MXU —
+        count[k, hi, lo] = sum_f onehot_hi[k,f,hi] * onehot_lo[k,f,lo]
+    The transient tensors are [K,F,sqrt(P)] bf16 (exact for 0/1) instead
+    of the [K,F,P] compare tensor (~8x less memory traffic at P=16k, and
+    the reduction is a matmul instead of an elementwise sum). This runs
+    on the per-frame tracking path (local-map harvest), so it matters.
+    """
     K, F = store.kf_obs.shape
     P = store.pt_cap
-    parts = []
-    for k0 in range(0, K, chunk):
-        obs = store.kf_obs[k0:k0 + chunk]                   # [c, F]
-        pp = jax.lax.broadcasted_iota(jnp.int32, (obs.shape[0], F, P), 2)
-        eq = (obs[:, :, None] == pp)
-        parts.append(jnp.sum(eq.astype(jnp.float32), axis=1))
-    return jnp.concatenate(parts, axis=0)                   # [K, P]
+    H = 1 << max(1, (P - 1).bit_length() + 1 >> 1)   # ~sqrt(P), pow2
+    L = -(-P // H)
+    obs = store.kf_obs
+    ok = obs >= 0
+    idx = jnp.where(ok, obs, 0)
+    hi = idx // L
+    lo = idx - hi * L
+    oh_hi = (hi[..., None] == jnp.arange(H)[None, None, :]) & ok[..., None]
+    oh_lo = lo[..., None] == jnp.arange(L)[None, None, :]
+    cnt = jnp.einsum("kfh,kfl->khl",
+                     oh_hi.astype(jnp.bfloat16),
+                     oh_lo.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return cnt.reshape(K, H * L)[:, :P]                 # [K, P]
 
 
 @jax.jit
