@@ -32,13 +32,18 @@ BIG = hamming.MAX_DIST + 1
 
 def masked_best2(dist, cand_mask):
     """Best/second-best distance + best index along axis -1, with invalid
-    candidates pushed beyond any real distance."""
+    candidates pushed beyond any real distance.
+
+    Two min/argmin reductions instead of top_k: XLA lowers top_k to a
+    FULL SORT of the [Q, C] tile on TPU (dominant cost in the per-frame
+    matchers); masked min-reductions are linear passes."""
     d = jnp.where(cand_mask, dist, BIG)
-    if d.shape[-1] < 2:  # degenerate tiny tiles (tests only)
-        pad = jnp.full(d.shape[:-1] + (2 - d.shape[-1],), BIG, d.dtype)
-        d = jnp.concatenate([d, pad], axis=-1)
-    top2, idx2 = jax.lax.top_k(-d, 2)
-    return -top2[..., 0], -top2[..., 1], idx2[..., 0]
+    idx = jnp.argmin(d, axis=-1)
+    b1 = jnp.min(d, axis=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    d2 = jnp.where(cols == idx[..., None], BIG, d)
+    b2 = jnp.min(d2, axis=-1)
+    return b1, b2, idx
 
 
 def one_to_one(idx, dist, ok, n_cand):

@@ -60,6 +60,11 @@ def best_two(dist, valid_c=None, axis=-1):
     if valid_c is not None:
         big = jnp.asarray(MAX_DIST + 1, dist.dtype)
         dist = jnp.where(valid_c, dist, big)
-    neg = -dist
-    top2, idx2 = jax.lax.top_k(neg, 2)
-    return -top2[..., 0], -top2[..., 1], idx2[..., 0]
+    # min/argmin twice instead of top_k (top_k = full sort on TPU)
+    idx = jnp.argmin(dist, axis=-1)
+    b1 = jnp.min(dist, axis=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dist.ndim - 1)
+    big2 = jnp.asarray(MAX_DIST + 1, dist.dtype)
+    d2 = jnp.where(cols == idx[..., None], big2, dist)
+    b2 = jnp.min(d2, axis=-1)
+    return b1, b2, idx

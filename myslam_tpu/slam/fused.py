@@ -302,10 +302,14 @@ class FusedTracker:
             n_last = jnp.maximum(
                 jnp.sum((state.last_obs >= 0).astype(jnp.int32)), 1)
             need_wide = n_a < jnp.maximum(cfg.min_track_matches, n_last // 2)
-            obs_b = _motion_model_match(
-                store, cam, T_pred, feats, state.last_obs,
-                state.last_level, state.last_angle, th=30.0)
-            obs_mm = jnp.where(need_wide, obs_b, obs_a)
+            # widened retry only when the narrow window was scarce
+            # (src/Tracking.cc:894-906) — lax.cond skips it otherwise
+            obs_mm = jax.lax.cond(
+                need_wide,
+                lambda _: _motion_model_match(
+                    store, cam, T_pred, feats, state.last_obs,
+                    state.last_level, state.last_angle, th=30.0),
+                lambda _: obs_a, None)
             n_mm = jnp.sum((obs_mm >= 0).astype(jnp.int32))
 
             T1, obs1, n1 = _pose_optimize(
@@ -350,38 +354,48 @@ class FusedTracker:
             cap_ok = n_kf < cfg.kf_cap - 2
             gap_ok = (state.frame_id
                       >= state.last_kf_frame + cfg.min_frames_between_kf)
-            # only points with >= 3 observations count
-            # (KeyFrame::TrackedMapPoints(3), src/Tracking.cc:1002-1006)
-            ref_obs = store.kf_obs[state.ref_kf]
-            obs_cnt = map_store.observation_count(store)
-            ref_tracked = jnp.sum(
-                ((ref_obs >= 0)
-                 & (obs_cnt[jnp.clip(ref_obs, 0, store.pt_cap - 1)] >= 3)
-                 ).astype(jnp.int32))
-            c1a = (state.frame_id
-                   >= state.last_kf_frame + cfg.max_frames_between_kf)
-            c2 = ((n_in < 0.9 * ref_tracked)
-                  & (n_in < 0.7 * ref_tracked))
-            T_ref = store.kf_pose[state.ref_kf]
-            base = jnp.linalg.norm(
-                se3.camera_center(Tcw) - se3.camera_center(T_ref))
-            med = local_mapping.scene_median_depth(store, state.ref_kf)
-            geo_t = base > cfg.kf_baseline_ratio * jnp.maximum(med, 1e-6)
-            R_rel = se3.rotation(Tcw) @ se3.rotation(T_ref).T
-            ang = jnp.degrees(jnp.arccos(jnp.clip(
-                (jnp.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0)))
-            geo_r = ang > cfg.kf_rotation_deg
-            need = c1a | c2 | geo_t | geo_r
-            if sensor != 0:
-                close = (feats.valid & (feats.depth > 0)
-                         & (feats.depth < cfg.th_depth))
-                tracked_close = jnp.sum(
-                    (close & (cur_obs >= 0)).astype(jnp.int32))
-                untracked_close = jnp.sum(
-                    (close & (cur_obs < 0)).astype(jnp.int32))
-                need = need | ((tracked_close < 100)
-                               & (untracked_close > 70))
-            need_kf = tracked & cap_ok & gap_ok & (n_in > 15) & need
+            pre_ok = tracked & cap_ok & gap_ok & (n_in > 15)
+
+            def kf_metrics(_):
+                # only points with >= 3 observations count
+                # (KeyFrame::TrackedMapPoints(3), src/Tracking.cc:1002-1006)
+                ref_obs = store.kf_obs[state.ref_kf]
+                obs_cnt = map_store.observation_count(store)
+                ref_tracked = jnp.sum(
+                    ((ref_obs >= 0)
+                     & (obs_cnt[jnp.clip(ref_obs, 0,
+                                         store.pt_cap - 1)] >= 3)
+                     ).astype(jnp.int32))
+                c1a = (state.frame_id
+                       >= state.last_kf_frame + cfg.max_frames_between_kf)
+                c2 = ((n_in < 0.9 * ref_tracked)
+                      & (n_in < 0.7 * ref_tracked))
+                T_ref = store.kf_pose[state.ref_kf]
+                base = jnp.linalg.norm(
+                    se3.camera_center(Tcw) - se3.camera_center(T_ref))
+                med = local_mapping.scene_median_depth(store, state.ref_kf)
+                geo_t = base > cfg.kf_baseline_ratio * jnp.maximum(med,
+                                                                   1e-6)
+                R_rel = se3.rotation(Tcw) @ se3.rotation(T_ref).T
+                ang = jnp.degrees(jnp.arccos(jnp.clip(
+                    (jnp.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0)))
+                geo_r = ang > cfg.kf_rotation_deg
+                need = c1a | c2 | geo_t | geo_r
+                if sensor != 0:
+                    close = (feats.valid & (feats.depth > 0)
+                             & (feats.depth < cfg.th_depth))
+                    tracked_close = jnp.sum(
+                        (close & (cur_obs >= 0)).astype(jnp.int32))
+                    untracked_close = jnp.sum(
+                        (close & (cur_obs < 0)).astype(jnp.int32))
+                    need = need | ((tracked_close < 100)
+                                   & (untracked_close > 70))
+                return need
+
+            # metric computation (obs counts, median depth) skipped
+            # entirely when capacity/gap gates already say no
+            need_kf = jax.lax.cond(
+                pre_ok, kf_metrics, lambda _: jnp.asarray(False), None)
 
             store2, kf_id = jax.lax.cond(
                 need_kf, insert_keyframe,
