@@ -132,17 +132,23 @@ def create_new_points(store: MapStore, cam: Camera, kf_id, neighbor_ids,
     src/LocalMapping.cc:209-454 — the neighbor count is the caller's
     static budget). Pure-Python loop over neighbors; each body is jitted.
     """
+    did_any = False
     for nb in neighbor_ids:
         if nb < 0:
             continue
         store = _triangulate_and_insert(
-            store, cam, kf_id, int(nb), max_new_per_pair)
+            store, cam, kf_id, int(nb), max_new_per_pair, refresh=False)
+        did_any = True
+    if did_any:
+        own = store.kf_obs[kf_id]
+        store = map_store.refresh_point_stats(
+            store, jnp.where(own >= 0, own, -1))
     return store
 
 
-@partial(jax.jit, static_argnames=("max_new",))
+@partial(jax.jit, static_argnames=("max_new", "refresh"))
 def _triangulate_and_insert(store: MapStore, cam: Camera, kf1, kf2,
-                            max_new: int):
+                            max_new: int, refresh: bool = True):
     f1_idx, f2_idx, pts, good = _triangulate_pair(store, cam, kf1, kf2)
 
     # baseline check (src/LocalMapping.cc:246-260): skip neighbor if the
@@ -177,7 +183,12 @@ def _triangulate_and_insert(store: MapStore, cam: Camera, kf1, kf2,
     ok = slots >= 0
     store = map_store.set_observations(store, kf1, f1s, slots, ok)
     store = map_store.set_observations(store, kf2, f2s, slots, ok)
-    store = map_store.refresh_point_stats(store, jnp.where(ok, slots, -1))
+    if refresh:
+        # callers that loop over several neighbor pairs pass refresh=False
+        # and run ONE refresh of kf1's observations afterwards (which
+        # covers every point created here — kf1 observes them all)
+        store = map_store.refresh_point_stats(
+            store, jnp.where(ok, slots, -1))
     return store
 
 

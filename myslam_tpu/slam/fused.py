@@ -245,11 +245,16 @@ class FusedTracker:
                     nb >= 0,
                     lambda s: local_mapping._triangulate_and_insert(
                         s, cam, kf_id, jnp.maximum(nb, 0),
-                        cfg.max_new_points),
+                        cfg.max_new_points, refresh=False),
                     lambda s: s, st)
                 return st2, None
 
             store, _ = jax.lax.scan(tri_body, store, nb_ids)
+            # one stats refresh covers every new point (kf_id observes
+            # them all); fuse below needs their distance bands
+            own = store.kf_obs[kf_id]
+            store = map_store.refresh_point_stats(
+                store, jnp.where(own >= 0, own, -1))
 
             # fuse with the top neighbors (SearchInNeighbors)
             def fuse_body(st, nb):
