@@ -106,7 +106,7 @@ def train_vocabulary(descriptors, valid=None, n_words: int = 2048,
 
 
 def load_dbow2_text(path: str, depth: int = 2,
-                    max_words: int = 4096) -> Vocabulary:
+                    max_words: int = 65536) -> Vocabulary:
     """Import a DBoW2 text vocabulary (the format the reference loads at
     startup: ORBVocabulary::loadFromTextFile,
     Thirdparty/DBoW2/.../TemplatedVocabulary.h:1338).
@@ -145,8 +145,14 @@ def load_dbow2_text(path: str, depth: int = 2,
     for i in range(n):
         depth_of[i + 1] = depth_of[parents[i]] + 1
 
-    # ancestor of each node at the cut depth
-    cut_ids = np.nonzero(depth_of == depth)[0]
+    # Cut set = nodes at the cut depth PLUS leaves that terminate above it
+    # (unbalanced DBoW2 trees end clusters early when < k descriptors
+    # remain; without this their weight would be silently dropped).
+    leaf_arr = np.zeros(n + 1, bool)
+    leaf_arr[1:] = np.asarray(leaves, bool)
+    cut_ids = np.nonzero((depth_of == depth)
+                         | (leaf_arr & (depth_of < depth)
+                            & (np.arange(n + 1) > 0)))[0]
     if len(cut_ids) == 0 or len(cut_ids) > max_words:
         raise ValueError(
             f"cut at depth {depth} gives {len(cut_ids)} words "

@@ -44,9 +44,7 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
                delta_sq, n_iters, use_huber):
     """n_iters LM iterations on the active edge set. Returns refined pose."""
 
-    def total_chi2(T):
-        e, _, _ = _edges(cam, T, xyz_w, uvr, stereo_mask, bf)
-        chi2 = inv_sigma2 * jnp.sum(e * e, axis=-1)
+    def robust_cost(chi2):
         if use_huber:
             # Huber cost: chi2 inside, 2*delta*sqrt(chi2)-delta^2 outside.
             rho = jnp.where(
@@ -59,10 +57,15 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
             rho = chi2
         return jnp.sum(jnp.where(active, rho, 0.0))
 
+    def total_chi2(T):
+        e, _, _ = _edges(cam, T, xyz_w, uvr, stereo_mask, bf)
+        return robust_cost(inv_sigma2 * jnp.sum(e * e, axis=-1))
+
     def step(carry, _):
         T, lam = carry
         e, Jp, _ = _edges(cam, T, xyz_w, uvr, stereo_mask, bf)
         chi2 = inv_sigma2 * jnp.sum(e * e, axis=-1)
+        cost_cur = robust_cost(chi2)  # reuse: no second edge eval at T
         w = inv_sigma2
         if use_huber:
             w = w * huber_weight(chi2, delta_sq)
@@ -73,7 +76,7 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
         H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         delta = jnp.linalg.solve(H_damped, b)
         T_new = se3.retract(T, delta)
-        improved = total_chi2(T_new) < total_chi2(T)
+        improved = total_chi2(T_new) < cost_cur
         T_next = jax.tree.map(lambda a, b: jnp.where(improved, a, b), T_new, T)
         lam_next = jnp.where(improved, lam * 0.5, lam * 4.0)
         lam_next = jnp.clip(lam_next, 1e-10, 1e6)

@@ -180,4 +180,8 @@ def distributed_bundle_adjust(cam: Camera, prob: BAProblem, mesh: Mesh,
             kf_pose, pt_xyz, sharded.kf_fixed, sharded.edge_kf,
             sharded.edge_pt, sharded.edge_uv, sharded.edge_inv_sigma2,
             sharded.edge_valid, lam)
-    return prob._replace(kf_pose=kf_pose, pt_xyz=pt_xyz)
+    # Snap rotations back onto SO(3) — matches optim/ba.py: downstream
+    # tracking's motion model doubles any non-orthogonal component per
+    # frame (see geom/se3.renormalize).
+    from ..geom import se3
+    return prob._replace(kf_pose=se3.renormalize(kf_pose), pt_xyz=pt_xyz)

@@ -140,6 +140,12 @@ class FusedTracker:
     def step(self, state, feats, timestamp):
         return self._step(state, feats, jnp.float32(timestamp))
 
+    def refresh_store(self, state: TrackState, store: MapStore) -> TrackState:
+        """Replace the store inside a TrackState after host-side map
+        surgery (e.g. semantic culling) so the device state stays
+        authoritative; recomputes state-cached derived structures."""
+        return state.replace(store=store)
+
     def run_chunk(self, state, feats_chunk, timestamps):
         """Track a chunk of frames in one dispatch. feats_chunk is a
         FrameFeatures pytree with a leading chunk axis."""
@@ -174,18 +180,25 @@ class FusedTracker:
         extract = self.extractor._build()
         cam = self.cam
 
-        def chunk(state, images, timestamps):
-            def body(st, x):
-                img, ts = x
-                img = img.astype(jnp.float32)  # uint8 transfers widen here
-                feats = extract(img)
-                und = projection.undistort_points(cam, feats.xy_raw)
-                feats = feats.replace(
-                    xy=jnp.where(feats.valid[:, None], und, 0.0))
-                st2, info = step(st, feats, ts)
-                return st2, info
+        def extract_one(img):
+            img = img.astype(jnp.float32)  # uint8 transfers widen here
+            feats = extract(img)
+            und = projection.undistort_points(cam, feats.xy_raw)
+            return feats.replace(
+                xy=jnp.where(feats.valid[:, None], und, 0.0))
 
-            return jax.lax.scan(body, state, (images, timestamps))
+        def chunk(state, images, timestamps):
+            # Extraction has no frame-to-frame dependency — batch the whole
+            # chunk in one vmap (pyramid/FAST/patch kernels run at batch-16
+            # utilization instead of 16 sequential dispatchlets), then scan
+            # only the sequential tracking step over the features.
+            feats_chunk = jax.vmap(extract_one)(images)
+
+            def body(st, x):
+                feats, ts = x
+                return step(st, feats, ts)
+
+            return jax.lax.scan(body, state, (feats_chunk, timestamps))
 
         return chunk
 
@@ -293,6 +306,24 @@ class FusedTracker:
 
         # ---------------- the per-frame step ----------------
         def step(state: TrackState, feats: FrameFeatures, timestamp):
+            # A tracker that went lost earlier in a scanned chunk stays
+            # lost (the host decides recovery via relocalization) — without
+            # this gate later frames in the chunk would keep re-matching
+            # against the stale last_obs and could silently "recover"
+            # (diverging from the host LOST path, src/Tracking.cc:325).
+            def frozen(_):
+                ns = state.replace(frame_id=state.frame_id + 1)
+                info = {"Tcw": state.Tcw,
+                        "tracked": jnp.asarray(False),
+                        "n_inliers": jnp.asarray(0, jnp.int32),
+                        "new_kf": jnp.asarray(False)}
+                return ns, info
+
+            return jax.lax.cond(state.lost, frozen,
+                                lambda _: _step_body(state, feats, timestamp),
+                                None)
+
+        def _step_body(state: TrackState, feats: FrameFeatures, timestamp):
             store = state.store
 
             # --- initial pose: motion model with widening retry,

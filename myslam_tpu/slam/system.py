@@ -122,16 +122,29 @@ class System:
             tracked = self.tracker.process_frame(
                 feats, self._frame_id, timestamp)
         if tracked and detections and self.semantic_filter is not None:
-            self.tracker.store = self.semantic_filter.update_and_cull(
-                self.tracker.store, self.cam, self.tracker.Tcw,
-                self.tracker.last_obs, detections)
+            # Under the fused fast path the authoritative store/last_obs
+            # live in the device TrackState, not the host mirror — culling
+            # the mirror would be clobbered by the next write_back.
+            tr = self.tracker
+            if tr._fstate is not None:
+                st = tr._fstate
+                new_store = self.semantic_filter.update_and_cull(
+                    st.store, self.cam, st.Tcw, st.last_obs, detections)
+                tr._fstate = tr._fused.refresh_store(st, new_store)
+                tr.store = new_store
+            else:
+                tr.store = self.semantic_filter.update_and_cull(
+                    tr.store, self.cam, tr.Tcw, tr.last_obs, detections)
         if self.viewer is not None and image is not None:
-            tm = (np.asarray(self.tracker.last_obs) >= 0) \
-                if tracked and self.tracker.last_obs is not None else None
+            tr = self.tracker
+            store, last_obs = tr.store, tr.last_obs
+            if tr._fstate is not None:  # fused path: host mirror is stale
+                store, last_obs = tr._fstate.store, tr._fstate.last_obs
+            tm = (np.asarray(last_obs) >= 0) \
+                if tracked and last_obs is not None else None
             self.viewer.update(
                 np.asarray(image), feats, tm, detections,
-                store=self.tracker.store, Tcw=self.tracker.Tcw,
-                state=self.tracker.state)
+                store=store, Tcw=tr.Tcw, state=tr.state)
         self._frame_id += 1
         self.frame_times.append(time.perf_counter() - t0)
         return np.asarray(self.tracker.Tcw) if tracked else None

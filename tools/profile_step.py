@@ -48,15 +48,22 @@ def timed(name, fn, *args):
         return carry * 0.5 + s * 1e-30, None
 
     run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=ITERS)[0])
+    run2 = jax.jit(
+        lambda c: jax.lax.scan(body, c, None, length=2 * ITERS)[0])
     c0 = jnp.float32(1e-6)
     run(c0).block_until_ready()  # compile
+    run2(c0).block_until_ready()
     reps = 3
-    best = 1e9
+    best = best2 = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         run(c0).block_until_ready()
         best = min(best, time.perf_counter() - t0)
-    per = (best) / ITERS * 1e3
+        t0 = time.perf_counter()
+        run2(c0).block_until_ready()
+        best2 = min(best2, time.perf_counter() - t0)
+    # two lengths cancel the constant dispatch/link overhead exactly
+    per = (best2 - best) / ITERS * 1e3
     print(f"{name:34s} {per:8.3f} ms/iter   (dispatch {best*1e3:7.1f} ms)")
     return per
 
