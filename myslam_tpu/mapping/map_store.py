@@ -275,18 +275,46 @@ def observation_table(store: MapStore, pt_ids, o_max: int = 16):
     """
     K, F = store.kf_obs.shape
     m = pt_ids.shape[0]
-    g2l = jnp.full(store.pt_cap, -1, jnp.int32).at[
-        jnp.where(pt_ids >= 0, pt_ids, store.pt_cap)].set(
-            jnp.arange(m, dtype=jnp.int32), mode="drop")
-    # feat_of [K, M]: which feature of KF k observes local point m (-1 none)
-    pid = store.kf_obs  # [K, F]
-    lp = jnp.where(pid >= 0, g2l[jnp.clip(pid, 0, store.pt_cap - 1)], -1)
-    lp = jnp.where(store.kf_valid[:, None], lp, -1)
-    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, F))
-    cols = jnp.where(lp >= 0, lp, m)
-    feat_of = jnp.full((K, m), -1, jnp.int32).at[rows, cols].set(
-        jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (K, F)),
-        mode="drop")
+    # feat_of [K, M]: which feature of KF k observes point pt_ids[m]
+    # (-1 none). Scatter-free: factored hi/lo one-hot contractions on the
+    # MXU (same trick as _obs_counts_per_kf; a point is observed at most
+    # once per keyframe, so summing f+1 over matches is exact):
+    #   S[k,h,l] = sum_f (f+1) * onehot_hi[k,f,h] * onehot_lo[k,f,l]
+    #   feat_of[k,m] = S[k, hi(pt_m), lo(pt_m)] - 1
+    # and the point-side lookup is two more small one-hot contractions.
+    P = store.pt_cap
+    H = 1 << max(1, (P - 1).bit_length() + 1 >> 1)
+    L = -(-P // H)
+    obs = store.kf_obs
+    ok = (obs >= 0) & store.kf_valid[:, None]
+    idx = jnp.where(ok, obs, 0)
+    hi = idx // L
+    lo = idx - hi * L
+    oh_hi = ((hi[..., None] == jnp.arange(H)[None, None, :])
+             & ok[..., None]).astype(jnp.bfloat16)
+    oh_lo = (lo[..., None] == jnp.arange(L)[None, None, :]
+             ).astype(jnp.bfloat16)
+    # the f+1 weight is split into two <=64 digits so every matmul input
+    # stays exact under the TPU's bf16 matmul passes
+    f1 = jnp.arange(F, dtype=jnp.float32) + 1.0
+    w_hi = jnp.floor(f1 / 64.0).astype(jnp.bfloat16)[None, :, None]
+    w_lo = jnp.mod(f1, 64.0).astype(jnp.bfloat16)[None, :, None]
+    S = jnp.stack([
+        jnp.einsum("kfh,kfl->khl", oh_hi * w, oh_lo,
+                   preferred_element_type=jnp.float32)
+        for w in (w_hi, w_lo)
+    ])                                                   # [2, K, H, L]
+    pt_safe = jnp.where(pt_ids >= 0, pt_ids, 0)
+    p_hi = pt_safe // L
+    p_lo = pt_safe - p_hi * L
+    ohp_hi = (p_hi[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32)
+    ohp_lo = (p_lo[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
+    ohp_hi = ohp_hi * (pt_ids >= 0).astype(jnp.float32)[:, None]
+    D = jnp.einsum("skhl,mh->skml", S, ohp_hi,
+                   preferred_element_type=jnp.float32)   # [2, K, M, L]
+    fd = jnp.einsum("skml,ml->skm", D, ohp_lo,
+                    preferred_element_type=jnp.float32)  # [2, K, M]
+    feat_of = jnp.round(64.0 * fd[0] + fd[1]).astype(jnp.int32) - 1
     observed = (feat_of >= 0).astype(jnp.float32)  # [K, M]
     _, kf_sel = jax.lax.top_k(observed.T, min(o_max, K))  # [M, o]
     obs_ok = jnp.take_along_axis(observed.T, kf_sel, axis=1) > 0

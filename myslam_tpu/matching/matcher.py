@@ -123,7 +123,8 @@ def search_for_initialization(f1, f2, window: int = 100, ratio: float = 0.9,
 def search_by_projection_frame(cam: Camera, Tcw, feats, prev_xyz, prev_desc,
                                prev_level, prev_angle, prev_valid, th: float,
                                scale: float = 1.2, n_levels: int = 8,
-                               check_rotation: bool = True):
+                               check_rotation: bool = True,
+                               th_desc: int = TH_HIGH):
     """Motion-model matching: project last frame's 3D points into the current
     frame with the predicted pose, search a window of th * scale^level around
     each projection at levels [l-1, l+1]
@@ -154,7 +155,7 @@ def search_by_projection_frame(cam: Camera, Tcw, feats, prev_xyz, prev_desc,
         & lvl_ok & feats.valid[None, :] & p_ok[:, None]
     )
     b1, _, idx = masked_best2(d, cand)
-    ok = (b1 <= TH_HIGH) & p_ok
+    ok = (b1 <= th_desc) & p_ok
     ok = one_to_one(idx, b1, ok, feats.capacity)
     if check_rotation:
         ok = rotation_consistency(

@@ -44,6 +44,8 @@ class TrackingConfig:
     min_track_matches: int = 20
     min_track_inliers: int = 10
     min_local_inliers: int = 30
+    min_reloc_inliers: int = 50   # nGood gate (src/Tracking.cc:1497)
+    reloc_candidates: int = 8
     max_frames_between_kf: int = 30
     min_frames_between_kf: int = 2
     kf_baseline_ratio: float = 0.05   # insert KF after moving 5% of depth
@@ -266,6 +268,11 @@ class Tracker:
             else:
                 self._fstate = None  # host path mutates the store
                 tracked = self._track(feats, frame_id, timestamp)
+            if not tracked and self.state == LOST and self.n_kf <= 5:
+                # Lost right after initialization: the bootstrap was bad —
+                # reset instead of relocalizing against a junk 2-KF map
+                # (src/Tracking.cc:481-489).
+                self.reset()
         else:
             self._fstate = None
             tracked = self._relocalize(feats, frame_id, timestamp)
@@ -723,47 +730,62 @@ class Tracker:
         self.store = store
 
     # ------------------------------------------------------------------
+    def reset(self):
+        """Clear the map and all tracking state (Tracking::Reset,
+        src/Tracking.cc:1511-1557)."""
+        cfg = self.cfg
+        self.store = MapStore.create(
+            cfg.kf_cap, cfg.pt_cap, cfg.feat_cap, cfg.scale, cfg.n_levels)
+        self.state = NOT_INITIALIZED
+        self.Tcw = se3.identity()
+        self.velocity = None
+        self.last_feats = None
+        self.last_obs = None
+        self.ref_kf = 0
+        self.n_kf = 0
+        self.last_kf_frame = -10**9
+        self.init_feats = None
+        self.trajectory = []
+        self.n_last_inliers = 0
+        self.loop_closer = None
+        self._fstate = None
+
     def _relocalize(self, feats, frame_id, timestamp) -> bool:
         """Relocalization (Tracking::Relocalization,
-        src/Tracking.cc:1348-1509): BoW-database candidate keyframes
-        (KeyFrameDatabase::DetectRelocalizationCandidates,
-        src/KeyFrameDatabase.cc:199-311), descriptor match per candidate,
-        then PnP RANSAC + pose optimization."""
+        src/Tracking.cc:1348-1509): covisibility-group candidate detection
+        + the full guided-match/PnP/reoptimize ladder, ALL candidates in
+        one batched device program (slam/relocalization.py)."""
         from ..matching import vocabulary
-        from ..solvers import pnp as pnp_solver
+        from . import relocalization
 
+        cfg = self.cfg
+        C = cfg.reloc_candidates
         if self.loop_closer is not None:
             lc = self.loop_closer
             words = vocabulary.assign_words(lc.vocab, feats.desc, feats.valid)
             vec = vocabulary.bow_vector(lc.vocab, words, feats.valid)
-            scores, common = vocabulary.query_database(lc.db, vec)
-            cand_ids = np.argsort(np.asarray(scores))[::-1][:8]
-            cand_ids = [int(k) for k in cand_ids
-                        if float(scores[k]) > 0
-                        and bool(self.store.kf_valid[k])]
+            cand_ids, cand_ok = relocalization.detect_candidates(
+                lc.db, self.store, vec, n_cands=C)
         else:
-            cand_ids = [k for k in range(self.store.kf_cap)
-                        if bool(self.store.kf_valid[k])][-8:]
+            # no vocabulary yet (e.g. a freshly loaded map): try the most
+            # recent keyframes
+            ids = [k for k in range(self.store.kf_cap)
+                   if bool(self.store.kf_valid[k])][-C:]
+            ids = (ids + [-1] * C)[:C]
+            cand_ids = jnp.asarray(ids, jnp.int32)
+            cand_ok = cand_ids >= 0
 
-        best_n, best_obs = 0, None
-        for k in cand_ids:
-            obs = _reference_kf_match(self.store, self.cam, feats, k)
-            n = int((obs >= 0).sum())
-            if n > best_n:
-                best_n, best_obs = n, obs
-        if best_obs is None or best_n < 15:
-            return False
-
-        xyz, valid = _frame_point_data(self.store, best_obs)
-        inv_s2 = 1.0 / self.store.level_sigma2(feats.level)
-        res = pnp_solver.solve_pnp(
-            self.cam, xyz, feats.xy, inv_s2, valid, self._next_key())
+        res = relocalization.attempt(
+            self.store, self.cam, feats, cand_ids, cand_ok,
+            self._next_key(), bf=cfg.bf,
+            min_inliers=cfg.min_reloc_inliers,
+            scale=cfg.scale, n_levels=cfg.n_levels)
         if not bool(res.ok):
             return False
         self.Tcw = res.Tcw
         self._last_Tcw = self.Tcw
         self.last_feats = feats
-        self.last_obs = jnp.where(res.inliers, best_obs, NO_POINT)
+        self.last_obs = res.obs
         self.state = OK
         self.velocity = None
         return True

@@ -292,3 +292,72 @@ class TestPoseGraph:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestStructuredParity:
+    """The component-major structured kernels (ba._solve_one_lm_step_structured
+    etc.) must agree with the generic gather/scatter path on identical
+    point-major problems."""
+
+    def _point_major(self, prob, stereo=False):
+        order = np.lexsort(
+            (np.asarray(prob.edge_kf), np.asarray(prob.edge_pt)))
+        order = jnp.asarray(order)
+        rng = np.random.default_rng(11)
+        E = prob.edge_kf.shape[0]
+        valid = np.ones(E, bool)
+        valid[rng.integers(0, E, E // 10)] = False
+        inv_s2 = jnp.asarray(
+            rng.uniform(0.5, 2.0, E).astype(np.float32))
+        prob = prob._replace(
+            edge_kf=prob.edge_kf[order], edge_pt=prob.edge_pt[order],
+            edge_uv=prob.edge_uv[order],
+            edge_inv_sigma2=inv_s2,
+            edge_valid=jnp.asarray(valid))
+        if stereo:
+            ur = np.where(rng.random(E) < 0.5,
+                          np.asarray(prob.edge_uv)[:, 0]
+                          - rng.uniform(5, 20, E), -1.0)
+            prob = prob._replace(
+                edge_ur=jnp.asarray(ur, jnp.float32), bf=45.0)
+        return prob
+
+    @pytest.mark.parametrize("stereo", [False, True])
+    def test_lm_step_matches_generic(self, stereo):
+        rng = np.random.default_rng(7)
+        cam, prob, _, _ = build_ba_problem(rng)
+        prob = self._point_major(prob, stereo)
+        O = prob.kf_pose.shape[0]
+        dp0, dl0 = ba._solve_one_lm_step(cam, prob, 1e-4, True, 0)
+        dp1, dl1 = ba._solve_one_lm_step(cam, prob, 1e-4, True, O)
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0),
+                                   atol=5e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(dl1), np.asarray(dl0),
+                                   atol=5e-4, rtol=2e-3)
+
+    @pytest.mark.parametrize("stereo", [False, True])
+    def test_cost_and_chi2_match(self, stereo):
+        rng = np.random.default_rng(8)
+        cam, prob, _, _ = build_ba_problem(rng)
+        prob = self._point_major(prob, stereo)
+        O = prob.kf_pose.shape[0]
+        c0 = ba._robust_cost(cam, prob, True, 0)
+        c1 = ba._robust_cost(cam, prob, True, O)
+        np.testing.assert_allclose(float(c1), float(c0), rtol=1e-5)
+        chi0, z0 = ba.edge_chi2_depth(cam, prob, 0)
+        chi1, z1 = ba.edge_chi2_depth(cam, prob, O)
+        np.testing.assert_allclose(np.asarray(chi1), np.asarray(chi0),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                                   rtol=1e-5)
+
+    def test_refine_points_matches_generic(self):
+        rng = np.random.default_rng(9)
+        cam, prob, _, _ = build_ba_problem(rng)
+        prob = self._point_major(prob)
+        O = prob.kf_pose.shape[0]
+        out0 = ba.refine_points_only(cam, prob, 2, o_group=0)
+        out1 = ba.refine_points_only(cam, prob, 2, o_group=O)
+        np.testing.assert_allclose(np.asarray(out1.pt_xyz),
+                                   np.asarray(out0.pt_xyz),
+                                   atol=1e-4, rtol=1e-3)

@@ -113,7 +113,7 @@ def main():
 
     def full_step(c):
         st2, info = step(state, feats.replace(
-            xy=feats.xy + c * 0.0), i + 30.0)
+            xy=feats.xy + c * 1e-30), i + 30.0)
         return (st2.Tcw, info["n_inliers"])
     timed("full fused step", full_step)
 
@@ -130,7 +130,7 @@ def main():
 
     def mm_match(c):
         obs = tracking._motion_model_match(
-            store, cam, se3.retract(T_pred, jnp.zeros(6) + c * 0),
+            store, cam, se3.retract(T_pred, jnp.zeros(6) + c * 1e-30),
             feats, state.last_obs, state.last_level, state.last_angle)
         return (obs.astype(jnp.float32),)
     timed("motion_model_match", mm_match)
@@ -141,21 +141,21 @@ def main():
 
     def pose_opt_fast(c):
         T, o, n = tracking._pose_optimize(
-            store, cam, se3.retract(T_pred, jnp.zeros(6) + c * 0),
+            store, cam, se3.retract(T_pred, jnp.zeros(6) + c * 1e-30),
             feats, obs_mm, bf, escape=False)
         return (T, n.astype(jnp.float32))
     timed("pose_optimize (no escape)", pose_opt_fast)
 
     def pose_opt_esc(c):
         T, o, n = tracking._pose_optimize(
-            store, cam, se3.retract(T_pred, jnp.zeros(6) + c * 0),
+            store, cam, se3.retract(T_pred, jnp.zeros(6) + c * 1e-30),
             feats, obs_mm, bf, escape=True)
         return (T, n.astype(jnp.float32))
     timed("pose_optimize (escape)", pose_opt_esc)
 
     def harvest(c):
         pt_ids, lids, lon = tracking._local_map_harvest(
-            store, jnp.where(obs_mm >= 0, obs_mm, -1) + (c * 0).astype(jnp.int32),
+            store, jnp.where(obs_mm >= 0, obs_mm, -1) + (c * 1e-30).astype(jnp.int32),
             cfg.local_kf, cfg.local_pts)
         return (pt_ids.astype(jnp.float32),)
     timed("local_map_harvest", harvest)
@@ -165,7 +165,7 @@ def main():
 
     def lm_match(c):
         merged, vis = tracking._local_map_match(
-            store, cam, se3.retract(state.Tcw, jnp.zeros(6) + c * 0),
+            store, cam, se3.retract(state.Tcw, jnp.zeros(6) + c * 1e-30),
             feats, obs_mm, pt_ids)
         return (merged.astype(jnp.float32),)
     timed("local_map_match", lm_match)
@@ -173,23 +173,23 @@ def main():
     def bump(c):
         s2 = map_store.bump_counters(
             store, pt_ids, jnp.where(obs_mm >= 0, obs_mm, -1))
-        return (s2.pt_visible.astype(jnp.float32) + c * 0,)
+        return (s2.pt_visible.astype(jnp.float32) + c * 1e-30,)
     timed("bump_counters", bump)
 
     # derived structures
     def inc(c):
         B = map_store.incidence(store)
-        return (B.astype(jnp.float32) + c * 0,)
+        return (B.astype(jnp.float32) + c * 1e-30,)
     timed("incidence [K,P]", inc)
 
     def cov(c):
         W = map_store.covisibility(store)
-        return (W.astype(jnp.float32) + c * 0,)
+        return (W.astype(jnp.float32) + c * 1e-30,)
     timed("covisibility [K,K]", cov)
 
     def ocnt(c):
         o = map_store.observation_count(store)
-        return (o.astype(jnp.float32) + c * 0,)
+        return (o.astype(jnp.float32) + c * 1e-30,)
     timed("observation_count [P]", ocnt)
 
     # ---- keyframe branch internals ----
@@ -197,7 +197,7 @@ def main():
 
     def cull(c):
         s2 = local_mapping.cull_points(store, state.ref_kf)
-        return (s2.pt_valid.astype(jnp.float32) + c * 0,)
+        return (s2.pt_valid.astype(jnp.float32) + c * 1e-30,)
     timed("cull_points", cull)
 
     nb_ids, _ = local_mapping.top_covisible(store, state.ref_kf,
@@ -206,7 +206,7 @@ def main():
 
     def tri(c):
         s2 = local_mapping._triangulate_and_insert(
-            store, cam, state.ref_kf, nb0 + (c * 0).astype(jnp.int32),
+            store, cam, state.ref_kf, nb0 + (c * 1e-30).astype(jnp.int32),
             cfg.max_new_points, refresh=False)
         return (s2.pt_xyz,)
     timed("triangulate+insert (1 nb)", tri)
@@ -215,26 +215,26 @@ def main():
 
     def fuse1(c):
         s2 = local_mapping.fuse_into_keyframe(
-            store, cam, nb0 + (c * 0).astype(jnp.int32), own, own >= 0)
+            store, cam, nb0 + (c * 1e-30).astype(jnp.int32), own, own >= 0)
         return (s2.pt_xyz,)
     timed("fuse_into_keyframe (1 call)", fuse1)
 
     def refresh(c):
         s2 = map_store.refresh_point_stats(
-            store, jnp.where(own >= 0, own, -1) + (c * 0).astype(jnp.int32))
+            store, jnp.where(own >= 0, own, -1) + (c * 1e-30).astype(jnp.int32))
         return (s2.pt_desc.astype(jnp.float32),)
     timed("refresh_point_stats", refresh)
 
     def obs_table(c):
         a, b, o = map_store.observation_table(
-            store, jnp.where(own >= 0, own, -1) + (c * 0).astype(jnp.int32),
+            store, jnp.where(own >= 0, own, -1) + (c * 1e-30).astype(jnp.int32),
             o_max=16)
         return (a.astype(jnp.float32),)
     timed("observation_table (2048 ids)", obs_table)
 
     def build_ba(c):
         prob, ks, ps, ef, es = local_mapping.build_local_ba(
-            store, state.ref_kf + (c * 0).astype(jnp.int32),
+            store, state.ref_kf + (c * 1e-30).astype(jnp.int32),
             cfg.ba_free, cfg.ba_fixed, cfg.ba_pts, cfg.ba_obs)
         return (prob.kf_pose, prob.pt_xyz)
     timed("build_local_ba", build_ba)
@@ -245,20 +245,20 @@ def main():
 
     def run_ba(c):
         p2, inl = ba_mod.bundle_adjust(
-            cam, prob._replace(pt_xyz=prob.pt_xyz + c * 0),
+            cam, prob._replace(pt_xyz=prob.pt_xyz + c * 1e-30),
             cfg.ba_iters1, cfg.ba_iters2, o_group=cfg.ba_obs)
         return (p2.kf_pose, p2.pt_xyz)
     timed("bundle_adjust (8+12 its)", run_ba)
 
     def one_lm(c):
-        p2 = ba_mod.run_lm(cam, prob._replace(pt_xyz=prob.pt_xyz + c * 0),
+        p2 = ba_mod.run_lm(cam, prob._replace(pt_xyz=prob.pt_xyz + c * 1e-30),
                            1, use_huber=True, o_group=cfg.ba_obs)
         return (p2.kf_pose, p2.pt_xyz)
     timed("run_lm 1 iter", one_lm)
 
     def refine_pts(c):
         p2 = ba_mod.refine_points_only(
-            cam, prob._replace(pt_xyz=prob.pt_xyz + c * 0), 1,
+            cam, prob._replace(pt_xyz=prob.pt_xyz + c * 1e-30), 1,
             o_group=cfg.ba_obs)
         return (p2.pt_xyz,)
     timed("refine_points_only 1 iter", refine_pts)
@@ -267,7 +267,7 @@ def main():
 
     def apply_ba(c):
         s2 = local_mapping.apply_local_ba(
-            store, prob2._replace(pt_xyz=prob2.pt_xyz + c * 0),
+            store, prob2._replace(pt_xyz=prob2.pt_xyz + c * 1e-30),
             inl, ks, ps, ef, es)
         return (s2.kf_pose,)
     timed("apply_local_ba", apply_ba)
