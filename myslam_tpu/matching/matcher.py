@@ -263,7 +263,9 @@ def search_for_triangulation(cam: Camera, f1, Tcw1, f2, Tcw2,
 def search_by_projection_sim3(cam: Camera, Scw_R, Scw_t, Scw_s, feats,
                               pt_xyz, pt_desc, pt_normal, pt_min_dist,
                               pt_max_dist, pt_valid, th: float = 10.0,
-                              scale: float = 1.2, n_levels: int = 8):
+                              scale: float = 1.2, n_levels: int = 8,
+                              th_desc: int = TH_LOW,
+                              view_cos_th: float = 0.5):
     """Loop-closing variant: project map points through a Sim3 world->camera
     transform (ORBmatcher::SearchByProjection(KeyFrame*, cv::Mat Scw, ...),
     src/ORBmatcher.cc:290-403, which normalizes Scw to the SE3 (R, t/s) at
@@ -285,7 +287,9 @@ def search_by_projection_sim3(cam: Camera, Scw_R, Scw_t, Scw_s, feats,
     vcos = jnp.sum(po * pt_normal, axis=-1) / (
         jnp.maximum(dist, 1e-9)
         * jnp.maximum(jnp.linalg.norm(pt_normal, axis=-1), 1e-9))
-    p_ok = pt_valid & (depth > 0) & in_img & d_ok & (vcos > 0.5)
+    # view_cos_th < -1 disables the angle gate (SearchBySim3 has none,
+    # src/ORBmatcher.cc:1102-1326)
+    p_ok = pt_valid & (depth > 0) & in_img & d_ok & (vcos > view_cos_th)
 
     lvl = predict_scale(dist, pt_max_dist, scale, n_levels)
     radius = th * jnp.power(jnp.float32(scale), lvl.astype(jnp.float32))
@@ -300,6 +304,6 @@ def search_by_projection_sim3(cam: Camera, Scw_R, Scw_t, Scw_s, feats,
         & lvl_ok & feats.valid[None, :] & p_ok[:, None]
     )
     b1, _, idx = masked_best2(d, cand)
-    ok = (b1 <= TH_LOW) & p_ok
+    ok = (b1 <= th_desc) & p_ok
     ok = one_to_one(idx, b1, ok, feats.capacity)
     return idx, ok

@@ -188,17 +188,15 @@ class FusedTracker:
                 xy=jnp.where(feats.valid[:, None], und, 0.0))
 
         def chunk(state, images, timestamps):
-            # Extraction has no frame-to-frame dependency — batch the whole
-            # chunk in one vmap (pyramid/FAST/patch kernels run at batch-16
-            # utilization instead of 16 sequential dispatchlets), then scan
-            # only the sequential tracking step over the features.
-            feats_chunk = jax.vmap(extract_one)(images)
-
+            # Extraction stays INSIDE the scan: a batch-16 vmap of the
+            # pyramid/FAST kernels was measured SLOWER end-to-end (69 -> 37
+            # fps) — the batched pyramid intermediates spill VMEM, while the
+            # per-frame extractor pipelines cleanly with the tracking step.
             def body(st, x):
-                feats, ts = x
-                return step(st, feats, ts)
+                img, ts = x
+                return step(st, extract_one(img), ts)
 
-            return jax.lax.scan(body, state, (feats_chunk, timestamps))
+            return jax.lax.scan(body, state, (images, timestamps))
 
         return chunk
 
@@ -306,24 +304,6 @@ class FusedTracker:
 
         # ---------------- the per-frame step ----------------
         def step(state: TrackState, feats: FrameFeatures, timestamp):
-            # A tracker that went lost earlier in a scanned chunk stays
-            # lost (the host decides recovery via relocalization) — without
-            # this gate later frames in the chunk would keep re-matching
-            # against the stale last_obs and could silently "recover"
-            # (diverging from the host LOST path, src/Tracking.cc:325).
-            def frozen(_):
-                ns = state.replace(frame_id=state.frame_id + 1)
-                info = {"Tcw": state.Tcw,
-                        "tracked": jnp.asarray(False),
-                        "n_inliers": jnp.asarray(0, jnp.int32),
-                        "new_kf": jnp.asarray(False)}
-                return ns, info
-
-            return jax.lax.cond(state.lost, frozen,
-                                lambda _: _step_body(state, feats, timestamp),
-                                None)
-
-        def _step_body(state: TrackState, feats: FrameFeatures, timestamp):
             store = state.store
 
             # --- initial pose: motion model with widening retry,
@@ -382,7 +362,16 @@ class FusedTracker:
             store = map_store.bump_counters(
                 store, visible, jnp.where(cur_obs >= 0, cur_obs, -1))
 
-            tracked = tracked_pre & (n_in >= cfg.min_local_inliers)
+            # A tracker that went lost earlier in a scanned chunk STAYS
+            # lost (the host decides recovery via relocalization): without
+            # the ~state.lost gate, later frames in the chunk would keep
+            # re-matching against the stale last_obs and could silently
+            # "recover" (diverging from the host LOST path,
+            # src/Tracking.cc:325). Folded into the existing freeze select
+            # below — an outer lax.cond over the whole step costs a
+            # per-frame copy of the full MapStore.
+            tracked = (tracked_pre & (n_in >= cfg.min_local_inliers)
+                       & ~state.lost)
             lost = ~tracked
 
             # --- keyframe decision (src/Tracking.cc:984-1068) ---
@@ -462,7 +451,9 @@ class FusedTracker:
             new_state = select(tracked, new_state,
                                state.replace(lost=jnp.asarray(True),
                                              frame_id=state.frame_id + 1))
-            info = {"Tcw": Tcw, "tracked": tracked, "n_inliers": n_in,
+            info = {"Tcw": select(tracked, Tcw, state.Tcw),
+                    "tracked": tracked,
+                    "n_inliers": jnp.where(tracked, n_in, 0),
                     "new_kf": need_kf}
             return new_state, info
 

@@ -32,7 +32,7 @@ from ..mapping import local_mapping, map_store
 from ..mapping.map_store import NO_POINT, MapStore
 from ..matching import matcher, vocabulary
 from ..optim import ba, pose_graph, sim3_opt
-from ..ops import hamming
+from ..ops import hamming, indexing
 from ..solvers import sim3_solver
 
 MIN_MATCHES_BOW = 20     # src/LoopClosing.cc:262
@@ -72,12 +72,75 @@ def _kf_bow_match(store: MapStore, kf1, kf2):
     return idx, ok
 
 
+@jax.jit
+def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
+                       R12, t12, s12, idx2, ok):
+    """ORBmatcher::SearchBySim3 (src/ORBmatcher.cc:1102-1326): mutual
+    Sim3-guided projection growth of the kf1<->kf2 match set before
+    OptimizeSim3 — marginal loops whose BoW matches alone cannot reach
+    the >= 20 inlier gate are recovered by these extra correspondences.
+
+    Both directions project through the RANSAC Sim3 (th=7.5, ORB distance
+    <= TH_HIGH, no view-angle gate) and a pair is accepted only on mutual
+    agreement. Returns the grown (idx2, ok)."""
+    F = store.feat_cap
+    feats1 = local_mapping.kf_features(store, kf1)
+    feats2 = local_mapping.kf_features(store, kf2)
+    obs1, obs2 = store.kf_obs[kf1], store.kf_obs[kf2]
+    pid1 = jnp.clip(obs1, 0, store.pt_cap - 1)
+    pid2 = jnp.clip(obs2, 0, store.pt_cap - 1)
+    v1 = (obs1 >= 0) & store.pt_valid[pid1]
+    v2 = (obs2 >= 0) & store.pt_valid[pid2]
+    # skip features/points that already carry a match (the reference skips
+    # vpMatches12 / vbAlreadyMatched entries on both sides)
+    matched2 = indexing.bincount_mm(jnp.where(ok, idx2, -1), F) > 0
+    T1, T2 = store.kf_pose[kf1], store.kf_pose[kf2]
+
+    def sim3_args(pid, vmask):
+        return (store.pt_xyz[pid], store.pt_desc[pid], store.pt_normal[pid],
+                store.pt_min_dist[pid], store.pt_max_dist[pid], vmask)
+
+    # direction A: kf2's points into kf1's image  (S_1_w = S12 o T_2_w)
+    RA = R12 @ se3.rotation(T2)
+    tA = s12 * (R12 @ se3.translation(T2)) + t12
+    idxA, okA = matcher.search_by_projection_sim3(
+        cam, RA, tA, s12, feats1.replace(valid=feats1.valid & ~ok),
+        *sim3_args(pid2, v2 & ~matched2), th=7.5,
+        scale=store.scale, n_levels=store.n_levels,
+        th_desc=matcher.TH_HIGH, view_cos_th=-2.0)
+    # direction B: kf1's points into kf2's image  (S_2_w = S12^-1 o T_1_w)
+    s21 = 1.0 / jnp.maximum(s12, 1e-9)
+    R21 = R12.T
+    t21 = -s21 * (R21 @ t12)
+    RB = R21 @ se3.rotation(T1)
+    tB = s21 * (R21 @ se3.translation(T1)) + t21
+    idxB, okB = matcher.search_by_projection_sim3(
+        cam, RB, tB, s21, feats2.replace(valid=feats2.valid & ~matched2),
+        *sim3_args(pid1, v1 & ~ok), th=7.5,
+        scale=store.scale, n_levels=store.n_levels,
+        th_desc=matcher.TH_HIGH, view_cos_th=-2.0)
+
+    # mutual agreement: kf2 obs slot m -> kf1 feature idxA[m]; accept iff
+    # kf1 obs slot idxA[m] maps back to m (vnMatch2[vnMatch1[i1]] == i1)
+    a_safe = jnp.clip(idxA, 0, F - 1)
+    back = indexing.mm_gather_int(idxB[:, None], a_safe)[:, 0]
+    back_ok = indexing.mm_gather_int(okB.astype(jnp.int32)[:, None],
+                                     a_safe)[:, 0] > 0
+    agree = okA & back_ok & (back == jnp.arange(F))
+    idx2_new = indexing.mm_scatter_set(
+        idx2, a_safe, jnp.arange(F, dtype=idx2.dtype), mask=agree)
+    grown = indexing.mm_scatter_set(
+        jnp.zeros(F, jnp.int32), a_safe, jnp.ones(F, jnp.int32),
+        mask=agree) > 0
+    return idx2_new, ok | grown
+
+
 class LoopCloser:
     """Synchronous loop-closing pass, invoked per keyframe insertion."""
 
     def __init__(self, cam: Camera, vocab: vocabulary.Vocabulary,
                  kf_cap: int, consistency_th: int = 3,
-                 cooldown_kfs: int = 10):
+                 cooldown_kfs: int = 10, fix_scale: bool = False):
         self.cam = cam
         self.vocab = vocab
         self.db = vocabulary.KeyFrameDatabase.create(
@@ -85,6 +148,10 @@ class LoopCloser:
         self.state = LoopState()
         self.consistency_th = consistency_th
         self.cooldown_kfs = cooldown_kfs
+        # stereo/RGB-D maps have metric scale: the loop Sim3 and the pose
+        # graph must keep s = 1 (reference mbFixScale,
+        # src/LoopClosing.cc:253 + src/Optimizer.cc:789-791)
+        self.fix_scale = bool(fix_scale)
         self.rng = jax.random.PRNGKey(1)
 
     def _next_key(self):
@@ -165,29 +232,41 @@ class LoopCloser:
         if n < MIN_MATCHES_BOW:
             return None
 
-        obs1 = store.kf_obs[kf_id]
-        obs2 = store.kf_obs[cand]
-        pid1 = jnp.clip(obs1, 0, store.pt_cap - 1)
-        pid2 = jnp.clip(obs2[idx2], 0, store.pt_cap - 1)
-        # camera-frame positions of the matched points
-        p1 = se3.transform(store.kf_pose[kf_id], store.pt_xyz[pid1])
-        p2 = se3.transform(store.kf_pose[cand], store.pt_xyz[pid2])
-        uv1 = store.kf_xy[kf_id]
-        uv2 = store.kf_xy[cand][idx2]
-        s2_1 = store.level_sigma2(store.kf_level[kf_id])
-        s2_2 = store.level_sigma2(store.kf_level[cand][idx2])
+        def match_arrays(idx2, ok):
+            obs1 = store.kf_obs[kf_id]
+            obs2 = store.kf_obs[cand]
+            pid1 = jnp.clip(obs1, 0, store.pt_cap - 1)
+            pid2 = jnp.clip(obs2[idx2], 0, store.pt_cap - 1)
+            # camera-frame positions of the matched points
+            p1 = se3.transform(store.kf_pose[kf_id], store.pt_xyz[pid1])
+            p2 = se3.transform(store.kf_pose[cand], store.pt_xyz[pid2])
+            uv1 = store.kf_xy[kf_id]
+            uv2 = store.kf_xy[cand][idx2]
+            s2_1 = store.level_sigma2(store.kf_level[kf_id])
+            s2_2 = store.level_sigma2(store.kf_level[cand][idx2])
+            return p1, p2, uv1, uv2, s2_1, s2_2
 
+        p1, p2, uv1, uv2, s2_1, s2_2 = match_arrays(idx2, ok)
         res = sim3_solver.solve_sim3(
             self.cam, self.cam, p1, p2, uv1, uv2,
             9.210 * s2_1, 9.210 * s2_2, ok, self._next_key(),
-            min_inliers=MIN_INLIERS_SIM3)
+            min_inliers=MIN_INLIERS_SIM3, fix_scale=self.fix_scale)
         if not bool(res.ok):
             return None
+
+        # mutual Sim3-guided match growth (ORBmatcher::SearchBySim3,
+        # src/LoopClosing.cc:350-355) before the >= 20 inlier gate
+        idx2, ok_grown = _sim3_match_growth(
+            self.cam, store, kf_id, cand, res.R12, res.t12, res.s12,
+            idx2, ok)
+        p1, p2, uv1, uv2, s2_1, s2_2 = match_arrays(idx2, ok_grown)
+        inliers0 = res.inliers | (ok_grown & ~ok)
 
         # refine with paired-projection LM (OptimizeSim3)
         R, t, s, inlier, n_in = sim3_opt.optimize_sim3(
             self.cam, self.cam, res.R12, res.t12, res.s12,
-            p1, p2, uv1, uv2, 1.0 / s2_1, 1.0 / s2_2, res.inliers)
+            p1, p2, uv1, uv2, 1.0 / s2_1, 1.0 / s2_2, inliers0,
+            fix_scale=self.fix_scale)
         if int(n_in) < MIN_INLIERS_SIM3:
             return None
 
@@ -370,7 +449,8 @@ class LoopCloser:
             edge_valid=jnp.ones(M, bool),
             fixed=jnp.asarray(fixed),
         )
-        out = pose_graph.optimize_pose_graph(prob, iters=20)
+        out = pose_graph.optimize_pose_graph(prob, iters=20,
+                                             scale_fixed=self.fix_scale)
 
         # recover SE3 poses T = [R | t/s] and re-map all points via their
         # reference keyframes (src/Optimizer.cc:1000-1040)

@@ -491,7 +491,8 @@ class Tracker:
         valid = jnp.concatenate([store.kf_fvalid[k] for k in kf_ids])
         vocab = vocabulary.train_vocabulary(
             descs, valid, n_words=self.cfg.vocab_words, iters=6)
-        self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap)
+        self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap,
+                                      fix_scale=self.cfg.sensor != 0)
         for k in kf_ids:
             self.loop_closer.add_keyframe_bow(store, k)
 
