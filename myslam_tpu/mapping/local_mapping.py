@@ -446,3 +446,74 @@ def local_bundle_adjustment(store: MapStore, cam: Camera, kf_id,
                                     o_group=o_max)
     return apply_local_ba(store, prob, inlier, kf_slots, pt_slots,
                           e_feat, e_src_kf)
+
+
+@partial(jax.jit, static_argnames=("o_max", "stereo"))
+def build_global_ba(store: MapStore, o_max: int = 12, stereo: bool = False,
+                    bf: float = 0.0):
+    """Assemble the WHOLE-map BA problem (GlobalBundleAdjustemnt input,
+    src/Optimizer.cc:41-54): every valid point with up to o_max of its
+    observations, every valid keyframe free except the oldest (the gauge
+    anchor — the reference fixes keyframe id 0, src/Optimizer.cc:73-76).
+
+    Point-major structured edges (o_max per point) so the component-major
+    Schur kernels in optim/ba.py apply. Problem shapes are the full arena
+    capacities — static for XLA, masked by validity.
+    """
+    K = store.kf_cap
+    P = store.pt_cap
+    obs_kf, obs_feat, obs_ok = map_store.observation_table(
+        store, jnp.arange(P), o_max)                     # [P, O]
+    kf_c = jnp.clip(obs_kf, 0, K - 1)
+    ft_c = jnp.clip(obs_feat, 0, store.feat_cap - 1)
+    uv = store.kf_xy[kf_c, ft_c]                         # [P, O, 2]
+    lvl = store.kf_level[kf_c, ft_c]
+    inv_s2 = 1.0 / store.level_sigma2(lvl)
+    valid = obs_ok & store.pt_valid[:, None]
+    E = P * o_max
+
+    seqs = jnp.where(store.kf_valid, store.kf_seq, jnp.int32(2**30))
+    anchor = jnp.argmin(seqs)
+    kf_fixed = ~store.kf_valid | (jnp.arange(K) == anchor)
+
+    e_ur = store.kf_ur[kf_c, ft_c].reshape(E) if stereo else None
+    return ba.BAProblem(
+        kf_pose=store.kf_pose,
+        pt_xyz=store.pt_xyz,
+        edge_kf=kf_c.reshape(E),
+        edge_pt=jnp.broadcast_to(
+            jnp.arange(P)[:, None], (P, o_max)).reshape(E),
+        edge_uv=uv.reshape(E, 2),
+        edge_inv_sigma2=inv_s2.reshape(E),
+        edge_valid=valid.reshape(E),
+        kf_fixed=kf_fixed,
+        edge_ur=e_ur,
+        bf=bf,
+    )
+
+
+def global_bundle_adjustment(store: MapStore, cam: Camera, iters: int = 20,
+                             o_max: int = 12, stereo: bool = False,
+                             bf: float = 0.0, mesh=None):
+    """True whole-map BA (GlobalBundleAdjustemnt, src/Optimizer.cc:41-54):
+    single Huber phase over ALL valid keyframes and points, then write
+    back. No silent coverage caps — the arena IS the problem.
+
+    mesh: optional jax.sharding.Mesh — edges shard across devices and the
+    Schur blocks reduce with psum (parallel/dist_ba.py; monocular edges
+    only on that path for now).
+    """
+    prob = build_global_ba(store, o_max, stereo, bf)
+    if mesh is not None and not stereo:
+        from ..parallel import dist_ba
+        out = dist_ba.distributed_bundle_adjust(
+            cam, prob, mesh, iters=iters)
+    else:
+        out = ba.run_lm(cam, prob, iters, use_huber=True, o_group=o_max)
+        out = out._replace(kf_pose=se3.renormalize(out.kf_pose))
+    return store.replace(
+        kf_pose=jnp.where((store.kf_valid & ~prob.kf_fixed)[:, None, None],
+                          out.kf_pose, store.kf_pose),
+        pt_xyz=jnp.where(store.pt_valid[:, None], out.pt_xyz,
+                         store.pt_xyz),
+    )

@@ -20,6 +20,7 @@ KeyFrameDatabase::DetectLoopCandidates (src/KeyFrameDatabase.cc:76-197):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional, Set
 
 import jax
@@ -135,12 +136,53 @@ def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
     return idx2_new, ok | grown
 
 
+@partial(jax.jit, static_argnames=("e_max",))
+def _essential_edges(kf_valid, kf_seq, W, Rw, tw, e_max: int):
+    """Device-side essential-graph structural edges: sequential
+    (spanning-tree role) + strong covisibility (w >= 100), with SE3
+    relative measurements from the pre-correction poses
+    (Optimizer::OptimizeEssentialGraph edge harvest,
+    src/Optimizer.cc:846-932 — the reference walks per-KF edge sets on
+    the host; here one [K,K] mask + one top_k compaction).
+
+    Returns (edge_i, edge_j, on, meas_R, meas_t) with e_max rows.
+    """
+    K = kf_valid.shape[0]
+    valid2 = kf_valid[:, None] & kf_valid[None, :]
+    iota = jnp.arange(K)
+    cov = (W >= 100) & valid2 & (iota[:, None] < iota[None, :])
+
+    # sequential successor of each valid KF in insertion order
+    seqs = jnp.where(kf_valid, kf_seq, jnp.int32(2**30))
+    newer = (seqs[None, :] > seqs[:, None]) & valid2
+    nxt = jnp.argmin(jnp.where(newer, seqs[None, :], 2**30), axis=1)
+    has_nxt = jnp.any(newer, axis=1)
+    seq_mask = (jnp.zeros((K, K), bool)
+                .at[iota, nxt].set(has_nxt))
+
+    mask = cov | seq_mask
+    val, idx = jax.lax.top_k(mask.reshape(K * K).astype(jnp.float32),
+                             e_max)
+    on = val > 0
+    ei = jnp.where(on, idx // K, 0)
+    ej = jnp.where(on, idx - (idx // K) * K, 0)
+
+    # S_ji = S_j o S_i^-1 at scale 1: R_ji = R_j R_i^T, t_ji = t_j - R_ji t_i
+    Ri, Rj = Rw[ei], Rw[ej]
+    ti, tj = tw[ei], tw[ej]
+    R_ji = jnp.einsum("eab,ecb->eac", Rj, Ri)
+    t_ji = tj - jnp.einsum("eab,eb->ea", R_ji, ti)
+    return (ei.astype(jnp.int32), ej.astype(jnp.int32), on,
+            R_ji, t_ji)
+
+
 class LoopCloser:
     """Synchronous loop-closing pass, invoked per keyframe insertion."""
 
     def __init__(self, cam: Camera, vocab: vocabulary.Vocabulary,
                  kf_cap: int, consistency_th: int = 3,
-                 cooldown_kfs: int = 10, fix_scale: bool = False):
+                 cooldown_kfs: int = 10, fix_scale: bool = False,
+                 bf: float = 0.0, mesh=None):
         self.cam = cam
         self.vocab = vocab
         self.db = vocabulary.KeyFrameDatabase.create(
@@ -152,6 +194,9 @@ class LoopCloser:
         # graph must keep s = 1 (reference mbFixScale,
         # src/LoopClosing.cc:253 + src/Optimizer.cc:789-791)
         self.fix_scale = bool(fix_scale)
+        self.bf = float(bf)
+        # optional device mesh: global BA shards its edges across it
+        self.mesh = mesh
         self.rng = jax.random.PRNGKey(1)
 
     def _next_key(self):
@@ -391,37 +436,26 @@ class LoopCloser:
         K = store.kf_cap
         kf_valid = np.asarray(store.kf_valid)
         R0, t0, s0 = S_corr  # starting estimates: corrected where in group
-        W = np.asarray(map_store.covisibility(store))
+        Rw, tw, sw = S_old
 
-        edges_i, edges_j = [], []
-        mR, mt, ms = [], [], []
+        # structural edges (sequential + covisibility w>=100) harvested on
+        # device — the host O(K^2) loop version cost ~33k iterations at
+        # K=256 plus one jnp compose round-trip per edge
+        W = map_store.covisibility(store)
+        ei, ej, on, mRd, mtd = _essential_edges(
+            store.kf_valid, store.kf_seq, W,
+            jnp.asarray(Rw), jnp.asarray(tw), e_max=6 * K)
+        msd = jnp.ones(ei.shape[0], jnp.float32)
 
         def rel_measure(i, j, Ri, ti, si, Rj, tj, sj):
-            """S_ji = S_j_w * S_i_w^-1 using the GIVEN (pre-correction)
-            poses for structural edges."""
+            """S_ji = S_j_w * S_i_w^-1 for the host-tracked loop edges."""
             Sj = (jnp.asarray(Rj), jnp.asarray(tj), jnp.asarray(float(sj)))
             Si = (jnp.asarray(Ri), jnp.asarray(ti), jnp.asarray(float(si)))
             S = sim3.compose(Sj, sim3.inverse(Si))
             return np.asarray(S[0]), np.asarray(S[1]), float(S[2])
 
-        Rw, tw, sw = S_old
-        valid_ids = np.nonzero(kf_valid)[0]
-        seq_order = valid_ids[np.argsort(np.asarray(store.kf_seq)[valid_ids])]
-        # sequential (spanning-tree-like) edges
-        for a, b in zip(seq_order[:-1], seq_order[1:]):
-            edges_i.append(a); edges_j.append(b)
-            r, t_, s_ = rel_measure(a, b, Rw[a], tw[a], 1.0, Rw[b], tw[b], 1.0)
-            mR.append(r); mt.append(t_); ms.append(s_)
-        # strong covisibility edges
-        for a in valid_ids:
-            for b in valid_ids:
-                if b <= a or W[a, b] < 100:
-                    continue
-                edges_i.append(a); edges_j.append(b)
-                r, t_, s_ = rel_measure(a, b, Rw[a], tw[a], 1.0,
-                                        Rw[b], tw[b], 1.0)
-                mR.append(r); mt.append(t_); ms.append(s_)
-        # prior loop edges
+        edges_i, edges_j, mR, mt, ms = [], [], [], [], []
+        # prior loop edges (a handful, host state)
         for a, b in self.state.loop_edges:
             if kf_valid[a] and kf_valid[b]:
                 edges_i.append(a); edges_j.append(b)
@@ -441,12 +475,17 @@ class LoopCloser:
 
         prob = pose_graph.PoseGraphProblem(
             R=jnp.asarray(R0), t=jnp.asarray(t0), s=jnp.asarray(s0),
-            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
-            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
-            meas_R=jnp.asarray(np.stack(mR).astype(np.float32)),
-            meas_t=jnp.asarray(np.stack(mt).astype(np.float32)),
-            meas_s=jnp.asarray(np.array(ms, np.float32)),
-            edge_valid=jnp.ones(M, bool),
+            edge_i=jnp.concatenate(
+                [ei, jnp.asarray(np.array(edges_i, np.int32))]),
+            edge_j=jnp.concatenate(
+                [ej, jnp.asarray(np.array(edges_j, np.int32))]),
+            meas_R=jnp.concatenate(
+                [mRd, jnp.asarray(np.stack(mR).astype(np.float32))]),
+            meas_t=jnp.concatenate(
+                [mtd, jnp.asarray(np.stack(mt).astype(np.float32))]),
+            meas_s=jnp.concatenate(
+                [msd, jnp.asarray(np.array(ms, np.float32))]),
+            edge_valid=jnp.concatenate([on, jnp.ones(M, bool)]),
             fixed=jnp.asarray(fixed),
         )
         out = pose_graph.optimize_pose_graph(prob, iters=20,
@@ -473,17 +512,14 @@ class LoopCloser:
 
     def _global_ba(self, store: MapStore, cam: Camera,
                    iters: int = 15) -> MapStore:
-        """Whole-map BA (GlobalBundleAdjustemnt, src/Optimizer.cc:41-54).
-        Uses the densest valid KF as anchor via the local-BA builder with
-        capacities covering the full map (adequate at current arena sizes;
-        a CG-based reduced solve replaces this at larger scales)."""
-        kf_valid = np.asarray(store.kf_valid)
-        n_kf = int(kf_valid.sum())
+        """TRUE whole-map BA (GlobalBundleAdjustemnt, src/Optimizer.cc:41-54):
+        every valid keyframe and point in one solve — no coverage caps.
+        The reference's during-GBA correction propagation
+        (src/LoopClosing.cc:646-750) is unnecessary here: the pass is
+        synchronous, so no keyframes are inserted mid-solve."""
+        n_kf = int(np.asarray(store.kf_valid).sum())
         if n_kf < 3:
             return store
-        any_kf = int(np.nonzero(kf_valid)[0][-1])
-        k_cap = min(max(2 * n_kf, 8), 64)
-        return local_mapping.local_bundle_adjustment(
-            store, cam, any_kf, k_free=k_cap, k_fixed=4,
-            p_max=min(store.pt_cap, 8192), o_max=12,
-            iters1=iters, iters2=iters)
+        return local_mapping.global_bundle_adjustment(
+            store, cam, iters=iters, o_max=12,
+            stereo=self.fix_scale, bf=self.bf, mesh=self.mesh)

@@ -492,7 +492,9 @@ class Tracker:
         vocab = vocabulary.train_vocabulary(
             descs, valid, n_words=self.cfg.vocab_words, iters=6)
         self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap,
-                                      fix_scale=self.cfg.sensor != 0)
+                                      fix_scale=self.cfg.sensor != 0,
+                                      bf=self.cfg.bf,
+                                      mesh=getattr(self, "mesh", None))
         for k in kf_ids:
             self.loop_closer.add_keyframe_bow(store, k)
 
