@@ -214,6 +214,17 @@ class LoopCloser:
         self.db = self.db.add(kf_id, vec)
         return vec
 
+    def rebuild_vocabulary(self, store: MapStore, vocab, kf_ids):
+        """Swap in a (re)trained vocabulary: rebuild the database by
+        re-encoding every live keyframe. Consistency groups reset — scores
+        under the old words are not comparable to the new ones."""
+        self.vocab = vocab
+        self.db = vocabulary.KeyFrameDatabase.create(
+            self.db.bow.shape[0], vocab.words.shape[0])
+        self.state.groups = []
+        for k in kf_ids:
+            self.add_keyframe_bow(store, int(k))
+
     def detect(self, store: MapStore, kf_id: int, vec) -> Optional[int]:
         """DetectLoop (src/LoopClosing.cc:104-230). Returns a consistent
         candidate keyframe id or None."""

@@ -45,7 +45,7 @@ class System:
     def __init__(self, settings="", sensor: int = MONOCULAR,
                  tracking_config: Optional[tracking.TrackingConfig] = None,
                  use_viewer: bool = False, detector=None,
-                 semantic_filter=None):
+                 semantic_filter=None, vocab_file: str = ""):
         if isinstance(settings, str) and settings:
             self.settings = load_settings(settings)
         elif isinstance(settings, Settings):
@@ -72,6 +72,11 @@ class System:
                                       th_depth=th_depth_m)
         if cfg.feat_cap != self.extractor.capacity:
             cfg = dataclasses.replace(cfg, feat_cap=self.extractor.capacity)
+        # pretrained vocabulary: ctor arg wins, else the settings-file key
+        # (Vocabulary.path) — mirrors the reference's System(strVocFile,...)
+        vp = vocab_file or s.vocab_path
+        if vp and cfg.vocab_path != vp:
+            cfg = dataclasses.replace(cfg, vocab_path=vp)
         self.sensor = sensor
         self.tracker = tracking.Tracker(self.cam, cfg)
         self.localization_only = False

@@ -69,6 +69,14 @@ class TrackingConfig:
     # loop closing
     enable_loop_closing: bool = True
     vocab_words: int = 512
+    # pretrained DBoW2 text vocabulary (reference System.cc:62-76); empty =
+    # bootstrap-train from the first keyframes and retrain periodically
+    vocab_path: str = ""
+    # retrain the self-trained vocabulary from ALL keyframes every N
+    # insertions (a 2-KF vocab saturates BoW scores on long sequences);
+    # 0 disables. Ignored when vocab_path is set.
+    vocab_retrain_every: int = 16
+    vocab_words_max: int = 4096
     # OK-state fast path: run the whole per-frame step as ONE device
     # program (slam/fused.py) — one host sync per frame instead of ~8.
     use_fused: bool = True
@@ -86,6 +94,17 @@ class TrackingConfig:
 NOT_INITIALIZED = 0
 OK = 1
 LOST = 2
+
+# Pretrained vocabularies are large (the reference's ORBvoc.txt has ~1M
+# leaves) — parse once per path per process.
+_VOCAB_CACHE = {}
+
+
+def _load_vocab_cached(path: str):
+    from ..matching import vocabulary
+    if path not in _VOCAB_CACHE:
+        _VOCAB_CACHE[path] = vocabulary.load_dbow2_text(path)
+    return _VOCAB_CACHE[path]
 
 
 @jax.jit
@@ -480,23 +499,55 @@ class Tracker:
             self._init_loop_closer()
 
     def _init_loop_closer(self, kf_ids=(0, 1)):
-        """Train the BoW vocabulary from the bootstrap keyframes and build
-        the database (replaces loading the pretrained ORB vocabulary file,
-        reference System.cc:62-76)."""
+        """Build the vocabulary + keyframe database: load a pretrained
+        DBoW2 text vocabulary when cfg.vocab_path is set (reference
+        System.cc:62-76), else train one from the bootstrap keyframes
+        (retrained periodically from the whole map — see
+        _maybe_retrain_vocab)."""
         from ..matching import vocabulary
         from .loop_closing import LoopCloser
 
         store = self.store
-        descs = jnp.concatenate([store.kf_desc[k] for k in kf_ids])
-        valid = jnp.concatenate([store.kf_fvalid[k] for k in kf_ids])
-        vocab = vocabulary.train_vocabulary(
-            descs, valid, n_words=self.cfg.vocab_words, iters=6)
+        if self.cfg.vocab_path:
+            vocab = _load_vocab_cached(self.cfg.vocab_path)
+        else:
+            descs = jnp.concatenate([store.kf_desc[k] for k in kf_ids])
+            valid = jnp.concatenate([store.kf_fvalid[k] for k in kf_ids])
+            vocab = vocabulary.train_vocabulary(
+                descs, valid, n_words=self.cfg.vocab_words, iters=6)
         self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap,
                                       fix_scale=self.cfg.sensor != 0,
                                       bf=self.cfg.bf,
                                       mesh=getattr(self, "mesh", None))
+        self._kf_since_retrain = 0
         for k in kf_ids:
             self.loop_closer.add_keyframe_bow(store, k)
+
+    def _maybe_retrain_vocab(self):
+        """Self-trained vocabularies start from 2 bootstrap keyframes; on
+        long sequences their BoW scores saturate and loop/reloc recall
+        collapses. Every cfg.vocab_retrain_every insertions, retrain from
+        ALL keyframe descriptors (word count grows with the map) and
+        rebuild the database. No-op with a pretrained vocabulary."""
+        cfg = self.cfg
+        if (cfg.vocab_path or cfg.vocab_retrain_every <= 0
+                or self.loop_closer is None):
+            return
+        self._kf_since_retrain = getattr(self, "_kf_since_retrain", 0) + 1
+        if self._kf_since_retrain < cfg.vocab_retrain_every:
+            return
+        self._kf_since_retrain = 0
+        from ..matching import vocabulary
+
+        store = self.store
+        kf_ids = np.nonzero(np.asarray(store.kf_valid))[0]
+        descs = store.kf_desc[kf_ids].reshape(-1, store.kf_desc.shape[-1])
+        valid = store.kf_fvalid[kf_ids].reshape(-1)
+        n_words = int(min(cfg.vocab_words_max,
+                          max(cfg.vocab_words, 64 * len(kf_ids))))
+        vocab = vocabulary.train_vocabulary(
+            descs, valid, n_words=n_words, iters=4)
+        self.loop_closer.rebuild_vocabulary(store, vocab, kf_ids)
 
     # ------------------------------------------------------------------
     def _track(self, feats, frame_id, timestamp) -> bool:
@@ -721,6 +772,9 @@ class Tracker:
 
         # ---- loop closing (LoopClosing::Run body, synchronous) ----
         if self.loop_closer is not None:
+            self.store = store
+            self._maybe_retrain_vocab()
+            store = self.store
             lc = self.loop_closer
             vec = lc.add_keyframe_bow(store, kf_id)
             cand = lc.detect(store, kf_id, vec)

@@ -39,6 +39,9 @@ class Settings:
     bf: float = 0.0
     th_depth: float = 35.0          # in baseline units (Camera.bf/fx * this)
     depth_map_factor: float = 1.0
+    # pretrained DBoW2 vocabulary text file (the reference loads one at
+    # startup, src/System.cc:62-76); empty = train from the data seen
+    vocab_path: str = ""
     extras: dict = field(default_factory=dict)
 
 
@@ -61,6 +64,9 @@ _KEY_MAP = {
 _INT_KEYS = {"rgb", "width", "height", "n_features", "n_levels",
              "ini_th_fast", "min_th_fast"}
 
+# string-valued keys (everything else parses as float or lands in extras)
+_STR_KEYS = {"Vocabulary.path": "vocab_path", "Vocabulary.file": "vocab_path"}
+
 
 def load_settings(path: str) -> Settings:
     """Parse an OpenCV-YAML settings file (flat `key: value` pairs)."""
@@ -73,6 +79,9 @@ def load_settings(path: str) -> Settings:
                 continue
             key, raw = m.group(1), m.group(2).strip().strip('"')
             if key.startswith("%"):
+                continue
+            if key in _STR_KEYS:
+                setattr(s, _STR_KEYS[key], raw)
                 continue
             try:
                 val = float(raw)
