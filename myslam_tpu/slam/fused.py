@@ -137,8 +137,15 @@ class FusedTracker:
         tracker.n_kf = int(state.store.kf_valid.sum())
         tracker.state = LOST if bool(state.lost) else OK
 
-    def step(self, state, feats, timestamp):
-        return self._step(state, feats, jnp.float32(timestamp))
+    def step(self, state, feats, timestamp, frame_id=None):
+        """One frame. frame_id is the REAL host frame id (sequences with
+        dropped frames must not mis-evaluate the c1a/min-gap keyframe
+        rules, src/Tracking.cc:984-1068); defaults to the running counter
+        for gap-free streams."""
+        if frame_id is None:
+            frame_id = state.frame_id
+        return self._step(state, feats, jnp.float32(timestamp),
+                          jnp.asarray(frame_id, jnp.int32))
 
     def refresh_store(self, state: TrackState, store: MapStore) -> TrackState:
         """Replace the store inside a TrackState after host-side map
@@ -146,32 +153,42 @@ class FusedTracker:
         authoritative; recomputes state-cached derived structures."""
         return state.replace(store=store)
 
-    def run_chunk(self, state, feats_chunk, timestamps):
+    def run_chunk(self, state, feats_chunk, timestamps, frame_ids=None):
         """Track a chunk of frames in one dispatch. feats_chunk is a
-        FrameFeatures pytree with a leading chunk axis."""
+        FrameFeatures pytree with a leading chunk axis; frame_ids carries
+        the real per-frame ids (default: consecutive from the counter)."""
+        n = jnp.asarray(timestamps).shape[0]
+        if frame_ids is None:
+            frame_ids = state.frame_id + jnp.arange(n, dtype=jnp.int32)
         return self._chunk(state, feats_chunk,
-                           jnp.asarray(timestamps, jnp.float32))
+                           jnp.asarray(timestamps, jnp.float32),
+                           jnp.asarray(frame_ids, jnp.int32))
 
-    def run_images(self, state, images, timestamps):
+    def run_images(self, state, images, timestamps, frame_ids=None):
         """Extraction + tracking over a chunk of raw images [C, H, W] in
         ONE dispatch — the minimum-host-interaction production mode
         (requires an extractor at construction). Pass uint8 images where
         possible: they cross the host-device link 4x cheaper and are
         widened on device."""
+        n = jnp.asarray(timestamps).shape[0]
+        if frame_ids is None:
+            frame_ids = state.frame_id + jnp.arange(n, dtype=jnp.int32)
         return self._img_chunk(state, jnp.asarray(images),
-                               jnp.asarray(timestamps, jnp.float32))
+                               jnp.asarray(timestamps, jnp.float32),
+                               jnp.asarray(frame_ids, jnp.int32))
 
     # ------------------------------------------------------------------
     def _build_chunk(self):
         step = self._build_step()
 
-        def chunk(state, feats_chunk, timestamps):
+        def chunk(state, feats_chunk, timestamps, frame_ids):
             def body(st, x):
-                feats, ts = x
-                st2, info = step(st, feats, ts)
+                feats, ts, fid = x
+                st2, info = step(st, feats, ts, fid)
                 return st2, info
 
-            return jax.lax.scan(body, state, (feats_chunk, timestamps))
+            return jax.lax.scan(body, state,
+                                (feats_chunk, timestamps, frame_ids))
 
         return chunk
 
@@ -187,16 +204,16 @@ class FusedTracker:
             return feats.replace(
                 xy=jnp.where(feats.valid[:, None], und, 0.0))
 
-        def chunk(state, images, timestamps):
+        def chunk(state, images, timestamps, frame_ids):
             # Extraction stays INSIDE the scan: a batch-16 vmap of the
             # pyramid/FAST kernels was measured SLOWER end-to-end (69 -> 37
             # fps) — the batched pyramid intermediates spill VMEM, while the
             # per-frame extractor pipelines cleanly with the tracking step.
             def body(st, x):
-                img, ts = x
-                return step(st, extract_one(img), ts)
+                img, ts, fid = x
+                return step(st, extract_one(img), ts, fid)
 
-            return jax.lax.scan(body, state, (images, timestamps))
+            return jax.lax.scan(body, state, (images, timestamps, frame_ids))
 
         return chunk
 
@@ -303,7 +320,8 @@ class FusedTracker:
             return store, kf_id
 
         # ---------------- the per-frame step ----------------
-        def step(state: TrackState, feats: FrameFeatures, timestamp):
+        def step(state: TrackState, feats: FrameFeatures, timestamp,
+                 frame_id):
             store = state.store
 
             # --- initial pose: motion model with widening retry,
@@ -377,7 +395,7 @@ class FusedTracker:
             # --- keyframe decision (src/Tracking.cc:984-1068) ---
             n_kf = jnp.sum(store.kf_valid.astype(jnp.int32))
             cap_ok = n_kf < cfg.kf_cap - 2
-            gap_ok = (state.frame_id
+            gap_ok = (frame_id
                       >= state.last_kf_frame + cfg.min_frames_between_kf)
             pre_ok = tracked & cap_ok & gap_ok & (n_in > 15)
 
@@ -391,7 +409,7 @@ class FusedTracker:
                      & (obs_cnt[jnp.clip(ref_obs, 0,
                                          store.pt_cap - 1)] >= 3)
                      ).astype(jnp.int32))
-                c1a = (state.frame_id
+                c1a = (frame_id
                        >= state.last_kf_frame + cfg.max_frames_between_kf)
                 c2 = ((n_in < 0.9 * ref_tracked)
                       & (n_in < 0.7 * ref_tracked))
@@ -425,7 +443,7 @@ class FusedTracker:
             store2, kf_id = jax.lax.cond(
                 need_kf, insert_keyframe,
                 lambda args: (args[0], state.ref_kf),
-                (store, Tcw, feats, cur_obs, state.frame_id, timestamp))
+                (store, Tcw, feats, cur_obs, frame_id, timestamp))
             # after insertion the keyframe row is authoritative (map
             # surgery may have remapped point slots)
             cur_obs = jnp.where(need_kf, store2.kf_obs[kf_id], cur_obs)
@@ -442,15 +460,15 @@ class FusedTracker:
                 last_level=feats.level,
                 last_angle=feats.angle,
                 ref_kf=jnp.where(need_kf, kf_id, state.ref_kf),
-                last_kf_frame=jnp.where(need_kf, state.frame_id,
+                last_kf_frame=jnp.where(need_kf, frame_id,
                                         state.last_kf_frame),
-                frame_id=state.frame_id + 1,
+                frame_id=frame_id + 1,
                 lost=lost,
             )
             # when lost, freeze the map/pose so the host can relocalize
             new_state = select(tracked, new_state,
                                state.replace(lost=jnp.asarray(True),
-                                             frame_id=state.frame_id + 1))
+                                             frame_id=frame_id + 1))
             info = {"Tcw": select(tracked, Tcw, state.Tcw),
                     "tracked": tracked,
                     "n_inliers": jnp.where(tracked, n_in, 0),

@@ -301,6 +301,58 @@ class Tracker:
             self.trajectory.append((frame_id, timestamp, self.Tcw))
         return tracked
 
+    def process_chunk(self, feats_chunk, frame_ids, timestamps):
+        """Track a CHUNK of frames in one device dispatch (production
+        mode: one host sync per chunk instead of per frame). Requires an
+        initialized tracker (state == OK). Per-frame poses land in
+        .trajectory with their REAL frame ids/timestamps, so full-
+        trajectory saving (System::SaveTrajectoryTUM,
+        reference src/System.cc:323-409) works in chunked mode too.
+        Host-paced events (loop closing, keyframe culling) run once at
+        the chunk boundary. Returns the per-frame tracked flags."""
+        from .fused import get_fused_tracker
+
+        if self.state != OK:
+            raise RuntimeError("process_chunk requires state == OK "
+                               "(bootstrap via process_frame first)")
+        if self._fused is None:
+            self._fused = get_fused_tracker(self.cam, self.cfg)
+        if self._fstate is None:
+            self._fstate = self._fused.state_from(self)
+        frame_ids = np.asarray(frame_ids)
+        timestamps = np.asarray(timestamps)
+        st, infos = self._fused.run_chunk(
+            self._fstate, feats_chunk, timestamps, frame_ids)
+        infos = jax.device_get(infos)
+        self._fstate = st
+        self.Tcw = st.Tcw
+        self._last_Tcw = st.Tcw
+        tracked = np.asarray(infos["tracked"])
+        for i in np.nonzero(tracked)[0]:
+            self.trajectory.append((int(frame_ids[i]),
+                                    float(timestamps[i]),
+                                    infos["Tcw"][i]))
+        self.frame_id = int(frame_ids[-1])
+        self.n_last_inliers = int(infos["n_inliers"][-1])
+        last_feats = jax.tree.map(lambda x: x[-1], feats_chunk)
+        if not bool(tracked[-1]):
+            # a lost tracker stays frozen for the rest of the chunk
+            # (fused.py gates on state.lost); hand control to the host
+            self._fused.write_back(st, self, last_feats=last_feats)
+            self._fstate = None
+            self.state = LOST
+            self.velocity = None
+        elif np.asarray(infos["new_kf"]).any():
+            self._fused.write_back(st, self, last_feats=last_feats)
+            self.n_kf = int(np.asarray(st.store.kf_valid).sum())
+            kf_id = int(st.ref_kf)
+            self._post_keyframe_events(kf_id)
+            self.Tcw = self.store.kf_pose[kf_id]
+            self.last_obs = self.store.kf_obs[kf_id]
+            self.last_feats = last_feats
+            self._fstate = None
+        return tracked
+
     def _track_fused(self, feats, frame_id, timestamp) -> bool:
         """OK-state fast path: one fused device step per frame
         (slam/fused.py), host sync only for the small info scalars; host
@@ -312,7 +364,8 @@ class Tracker:
             self._fused = get_fused_tracker(self.cam, self.cfg)
         if self._fstate is None:
             self._fstate = self._fused.state_from(self)
-        st, info = self._fused.step(self._fstate, feats, timestamp)
+        st, info = self._fused.step(self._fstate, feats, timestamp,
+                                    frame_id=frame_id)
         info = jax.device_get(info)  # ONE host sync for all scalars
         self._fstate = st
         self.Tcw = st.Tcw
