@@ -168,3 +168,99 @@ class ImageSequence:
     def gt_center(self, i: int) -> np.ndarray:
         # planar texture at depth 1 with fx=1px: translation ~ step*i px
         return np.array([self.step * i, 0.0, 0.0], np.float32)
+
+
+class Rendered3DScene:
+    """Render a NON-PLANAR 3D scene with a genuine revisit.
+
+    A cylindrical "room" wall of bright point sprites around the origin;
+    the camera orbits inside looking radially outward, sweeping the whole
+    wall and returning to its start — a true loop. Frames are [H, W]
+    float32 grayscale renders (splatted Gaussian sprites over a dark
+    background), suitable for writing to disk as PGM and replaying through
+    the dataset drivers (the stand-in for TUM fr1/fr2 until real datasets
+    are available; reference validation is dataset replay, SURVEY.md §4).
+    """
+
+    def __init__(self, width=512, height=384, n_points=9000,
+                 wall_radius=6.0, orbit_radius=2.5, t_loop=72,
+                 fx=380.0, fy=380.0, seed=3):
+        rng = np.random.default_rng(seed)
+        ang = rng.uniform(0, 2 * np.pi, n_points)
+        rad = wall_radius + rng.uniform(-0.7, 0.7, n_points)
+        self.xyz = np.stack([
+            rad * np.sin(ang),
+            rng.uniform(-2.5, 2.5, n_points),
+            -rad * np.cos(ang)], 1).astype(np.float32)
+        self.bright = rng.uniform(70, 255, n_points).astype(np.float32)
+        self.width, self.height = width, height
+        self.fx, self.fy = fx, fy
+        self.cx, self.cy = width / 2.0, height / 2.0
+        self.orbit_radius = orbit_radius
+        self.t_loop = t_loop
+
+    def pose(self, i: int):
+        """World-to-camera [3,4]: camera on the orbit circle, optical
+        axis radially outward (toward the wall)."""
+        a = 2 * np.pi * i / self.t_loop
+        c, s = np.cos(a), np.sin(a)
+        C = np.array([self.orbit_radius * s,
+                      0.08 * np.sin(0.23 * i),
+                      -self.orbit_radius * c], np.float32)
+        # look outward: camera +z (view) = radial direction (s, 0, -c)
+        Rwc = np.array([[c, 0.0, s],
+                        [0.0, 1.0, 0.0],
+                        [-s, 0.0, c]], np.float32)
+        Rcw = Rwc.T
+        t = -Rcw @ C
+        return np.concatenate([Rcw, t[:, None]], axis=1)
+
+    def gt_center(self, i: int) -> np.ndarray:
+        T = self.pose(i)
+        return -T[:, :3].T @ T[:, 3]
+
+    def frame(self, i: int) -> np.ndarray:
+        T = self.pose(i)
+        pc = self.xyz @ T[:, :3].T + T[:, 3]
+        z = pc[:, 2]
+        vis = z > 0.5
+        u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
+        v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
+        R = 3  # sprite half-extent in px
+        vis &= (u > -R) & (u < self.width + R) \
+            & (v > -R) & (v < self.height + R)
+        img = np.zeros((self.height + 2 * R, self.width + 2 * R),
+                       np.float32)
+        yy, xx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
+        for j in np.nonzero(vis)[0]:
+            ui, vi = u[j] + R, v[j] + R
+            u0, v0 = int(np.floor(ui)), int(np.floor(vi))
+            du, dv = ui - u0, vi - v0
+            # subpixel-centered Gaussian sprite, brightness ~ 1/depth
+            g = np.exp(-((xx - du) ** 2 + (yy - dv) ** 2) / (2 * 1.1 ** 2))
+            patch = img[v0 - R + R:v0 + R + 1 + R, u0 - R + R:u0 + R + 1 + R]
+            if patch.shape == g.shape:
+                np.maximum(patch, self.bright[j]
+                           * (2.0 / max(z[j], 1.0)) * g, out=patch)
+        return np.clip(img[R:-R, R:-R], 0, 255)
+
+    def write_tum_sequence(self, out_dir: str, n_frames: int):
+        """Write PGM frames + rgb.txt + groundtruth.txt in TUM layout."""
+        import os
+        os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+        lines, gt = [], []
+        for i in range(n_frames):
+            img = self.frame(i).astype(np.uint8)
+            rel = f"rgb/{i:04d}.pgm"
+            with open(os.path.join(out_dir, rel), "wb") as f:
+                f.write(b"P5\n%d %d\n255\n" % (self.width, self.height))
+                f.write(img.tobytes())
+            t = i / 30.0
+            lines.append(f"{t:.6f} {rel}")
+            C = self.gt_center(i)
+            gt.append(f"{t:.6f} {C[0]} {C[1]} {C[2]} 0 0 0 1")
+        with open(os.path.join(out_dir, "rgb.txt"), "w") as f:
+            f.write("# synthetic rendered 3D orbit\n")
+            f.write("\n".join(lines) + "\n")
+        with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+            f.write("\n".join(gt) + "\n")

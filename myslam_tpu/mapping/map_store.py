@@ -249,8 +249,16 @@ def incidence(store: MapStore):
 def covisibility(store: MapStore):
     """W [K, K] i32 shared-observation counts (KeyFrame covisibility graph,
     src/KeyFrame.cc:289-379) as one incidence matmul on the MXU."""
-    B = incidence(store).astype(jnp.float32)
-    W = jnp.dot(B, B.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+    return covisibility_from(incidence(store))
+
+
+@jax.jit
+def covisibility_from(B):
+    """Covisibility from a precomputed incidence matrix (the fused step
+    caches B in TrackState — it only changes at keyframe events)."""
+    Bf = B.astype(jnp.float32)
+    W = jnp.dot(Bf, Bf.T,
+                preferred_element_type=jnp.float32).astype(jnp.int32)
     return W - jnp.diag(jnp.diag(W))
 
 

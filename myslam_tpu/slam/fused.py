@@ -57,6 +57,16 @@ class TrackState:
     last_kf_frame: jnp.ndarray  # [] i32
     frame_id: jnp.ndarray       # [] i32
     lost: jnp.ndarray           # [] bool
+    # cached derived map structures — they only change at keyframe
+    # events, so the per-frame step reuses them instead of rebuilding
+    # [K,P] + [K,K] from kf_obs every frame (the reference's analogue:
+    # KeyFrame::UpdateConnections maintains the covisibility graph
+    # incrementally, src/KeyFrame.cc:289-379)
+    B: jnp.ndarray              # [K, P] bool incidence
+    W: jnp.ndarray              # [K, K] i32 covisibility
+    # localization mode (Tracking::mbOnlyTracking): suppress keyframe
+    # insertion, track against the frozen map
+    frozen: jnp.ndarray         # [] bool
 
 
 _FUSED_CACHE = {}
@@ -117,6 +127,9 @@ class FusedTracker:
             last_kf_frame=jnp.asarray(tracker.last_kf_frame, jnp.int32),
             frame_id=jnp.asarray(tracker.frame_id, jnp.int32),
             lost=jnp.asarray(False),
+            B=map_store.incidence(tracker.store),
+            W=map_store.covisibility(tracker.store),
+            frozen=jnp.asarray(bool(tracker.localization_only)),
         )
 
     def write_back(self, state: TrackState, tracker: tracking.Tracker,
@@ -151,7 +164,9 @@ class FusedTracker:
         """Replace the store inside a TrackState after host-side map
         surgery (e.g. semantic culling) so the device state stays
         authoritative; recomputes state-cached derived structures."""
-        return state.replace(store=store)
+        return state.replace(store=store,
+                             B=map_store.incidence(store),
+                             W=map_store.covisibility(store))
 
     def run_chunk(self, state, feats_chunk, timestamps, frame_ids=None):
         """Track a chunk of frames in one dispatch. feats_chunk is a
@@ -317,7 +332,10 @@ class FusedTracker:
 
             n_kf = jnp.sum(store.kf_valid.astype(jnp.int32))
             store = jax.lax.cond(n_kf > 2, run_ba, lambda s: s, store)
-            return store, kf_id
+            # refresh the cached incidence/covisibility ONCE per insertion
+            # (the per-frame step reuses them from TrackState)
+            B = map_store.incidence(store)
+            return store, kf_id, B, map_store.covisibility_from(B)
 
         # ---------------- the per-frame step ----------------
         def step(state: TrackState, feats: FrameFeatures, timestamp,
@@ -372,7 +390,8 @@ class FusedTracker:
 
             # --- local-map tracking ---
             pt_ids, local_ids, local_on = _local_map_harvest(
-                store, cur_obs, cfg.local_kf, cfg.local_pts)
+                store, cur_obs, cfg.local_kf, cfg.local_pts,
+                B=state.B, W=state.W)
             cur_obs, visible = _local_map_match(
                 store, cam, Tcw, feats, cur_obs, pt_ids)
             Tcw, cur_obs, n_in = _pose_optimize(
@@ -397,13 +416,16 @@ class FusedTracker:
             cap_ok = n_kf < cfg.kf_cap - 2
             gap_ok = (frame_id
                       >= state.last_kf_frame + cfg.min_frames_between_kf)
-            pre_ok = tracked & cap_ok & gap_ok & (n_in > 15)
+            pre_ok = (tracked & cap_ok & gap_ok & (n_in > 15)
+                      & ~state.frozen)
 
             def kf_metrics(_):
                 # only points with >= 3 observations count
                 # (KeyFrame::TrackedMapPoints(3), src/Tracking.cc:1002-1006)
                 ref_obs = store.kf_obs[state.ref_kf]
-                obs_cnt = map_store.observation_count(store)
+                # a point is observed at most once per keyframe, so the
+                # observation count is a column sum of the cached incidence
+                obs_cnt = jnp.sum(state.B.astype(jnp.int32), axis=0)
                 ref_tracked = jnp.sum(
                     ((ref_obs >= 0)
                      & (obs_cnt[jnp.clip(ref_obs, 0,
@@ -440,9 +462,9 @@ class FusedTracker:
             need_kf = jax.lax.cond(
                 pre_ok, kf_metrics, lambda _: jnp.asarray(False), None)
 
-            store2, kf_id = jax.lax.cond(
+            store2, kf_id, B2, W2 = jax.lax.cond(
                 need_kf, insert_keyframe,
-                lambda args: (args[0], state.ref_kf),
+                lambda args: (args[0], state.ref_kf, state.B, state.W),
                 (store, Tcw, feats, cur_obs, frame_id, timestamp))
             # after insertion the keyframe row is authoritative (map
             # surgery may have remapped point slots)
@@ -464,6 +486,8 @@ class FusedTracker:
                                         state.last_kf_frame),
                 frame_id=frame_id + 1,
                 lost=lost,
+                B=B2,
+                W=W2,
             )
             # when lost, freeze the map/pose so the host can relocalize
             new_state = select(tracked, new_state,

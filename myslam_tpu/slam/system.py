@@ -121,11 +121,8 @@ class System:
             feats = self.semantic_filter.filter_features(feats, detections)
         if timestamp is None:
             timestamp = self._frame_id / max(self.settings.fps, 1.0)
-        if self.localization_only:
-            tracked = self._track_localization_only(feats, timestamp)
-        else:
-            tracked = self.tracker.process_frame(
-                feats, self._frame_id, timestamp)
+        tracked = self.tracker.process_frame(
+            feats, self._frame_id, timestamp)
         if tracked and detections and self.semantic_filter is not None:
             # Under the fused fast path the authoritative store/last_obs
             # live in the device TrackState, not the host mirror — culling
@@ -218,35 +215,32 @@ class System:
         """Tracking step on precomputed FrameFeatures (benchmarks/tests)."""
         if timestamp is None:
             timestamp = self._frame_id / max(self.settings.fps, 1.0)
-        if self.localization_only:
-            tracked = self._track_localization_only(feats, timestamp)
-        else:
-            tracked = self.tracker.process_frame(
-                feats, self._frame_id, timestamp)
+        tracked = self.tracker.process_frame(
+            feats, self._frame_id, timestamp)
         self._frame_id += 1
         return np.asarray(self.tracker.Tcw) if tracked else None
 
-    def _track_localization_only(self, feats, timestamp) -> bool:
-        """Localization mode: track against the frozen map, never insert
-        keyframes or modify the map (System::ActivateLocalizationMode ->
-        Tracking::InformOnlyTracking, src/System.cc:271-281)."""
-        tr = self.tracker
-        insert = tr._insert_keyframe
-        tr._insert_keyframe = lambda *a, **k: None
-        tr.force_host = True  # the fused path has its own KF branch
-        try:
-            ok = tr.process_frame(feats, self._frame_id, timestamp)
-        finally:
-            tr._insert_keyframe = insert
-            tr.force_host = False
-        return ok
-
     # ------------------------------------------------------------------
+    def _set_localization_mode(self, on: bool):
+        """Localization mode: track against the frozen map, never insert
+        keyframes (System::ActivateLocalizationMode ->
+        Tracking::InformOnlyTracking, src/System.cc:271-281). Honored by
+        both tracking paths: the host Tracker checks .localization_only
+        and the fused step carries it as TrackState.frozen — no path
+        switching, no monkey-patching."""
+        import jax.numpy as jnp_
+
+        self.localization_only = on
+        tr = self.tracker
+        tr.localization_only = on
+        if tr._fstate is not None:
+            tr._fstate = tr._fstate.replace(frozen=jnp_.asarray(bool(on)))
+
     def activate_localization_mode(self):
-        self.localization_only = True
+        self._set_localization_mode(True)
 
     def deactivate_localization_mode(self):
-        self.localization_only = False
+        self._set_localization_mode(False)
 
     def reset(self):
         """Clear map and tracking state (System::Reset -> Tracking::Reset,

@@ -187,12 +187,17 @@ def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs, bf=0.0,
 
 @partial(jax.jit, static_argnames=("k_local", "p_local"))
 def _local_map_harvest(store: MapStore, obs, k_local: int = 16,
-                       p_local: int = 4096):
+                       p_local: int = 4096, B=None, W=None):
     """Local keyframes + local points from the current associations
     (Tracking::UpdateLocalKeyFrames/UpdateLocalPoints,
     src/Tracking.cc:1202-1346): KFs voting for current points, plus their
-    best covisible neighbors; points = union of their observations."""
-    B = map_store.incidence(store)                     # [K, P]
+    best covisible neighbors; points = union of their observations.
+
+    B/W: optional precomputed incidence [K,P] / covisibility [K,K] —
+    they only change at keyframe events, so the fused step caches them in
+    TrackState instead of recomputing [K,P]+[K,K] every frame."""
+    if B is None:
+        B = map_store.incidence(store)                 # [K, P]
     cur_pts = indexing.bincount_mm(obs, store.pt_cap) > 0
     votes = jnp.sum((B & cur_pts[None, :]), axis=1)    # [K]
     votes = jnp.where(store.kf_valid, votes, -1)
@@ -200,7 +205,8 @@ def _local_map_harvest(store: MapStore, obs, k_local: int = 16,
     seed_on = seed_v > 0
 
     # add best covisible neighbors of the seeds
-    W = map_store.covisibility(store)
+    if W is None:
+        W = map_store.covisibility_from(B)
     Wsel = jnp.dot(indexing.onehot(seed_ids, store.kf_cap),
                    W.astype(jnp.float32),
                    preferred_element_type=jnp.float32)         # [k/2, K]
@@ -269,7 +275,11 @@ class Tracker:
         self.rng = jax.random.PRNGKey(0)  # deterministic like the
         # reference's SeedRandOnce(0) (src/Initializer.cc:80)
         self.loop_closer = None           # created after initialization
-        self.force_host = False           # localization mode etc.
+        self.force_host = False
+        # localization mode (Tracking::mbOnlyTracking): track against the
+        # frozen map, never insert keyframes; honored by BOTH paths (the
+        # fused step carries it as TrackState.frozen)
+        self.localization_only = False
         self._fused = None                # FusedTracker (lazy)
         self._fstate = None               # device TrackState mirror
 
@@ -664,8 +674,11 @@ class Tracker:
             T_last_inv = se3.inverse(self._last_Tcw)
             self.velocity = se3.compose(self.Tcw, T_last_inv)
 
-        # ---- keyframe decision (src/Tracking.cc:984-1068) ----
-        if self._need_new_keyframe(n_inliers, frame_id, feats, cur_obs):
+        # ---- keyframe decision (src/Tracking.cc:984-1068); suppressed in
+        # localization mode (Tracking::mbOnlyTracking) ----
+        if (not self.localization_only
+                and self._need_new_keyframe(n_inliers, frame_id, feats,
+                                            cur_obs)):
             self._insert_keyframe(feats, cur_obs, frame_id, timestamp)
             # Map surgery (cull -> allocate) REUSES point slots, so ids held
             # before the insertion may now name different points. The new

@@ -1,0 +1,93 @@
+"""End-to-end DRIVER test on a rendered 3D sequence with a revisit.
+
+Exercises the real production entry points — PGM files on disk ->
+io/datasets.load_tum -> examples/mono_tum.py's loop (image loader ->
+extractor -> tracking -> loop closing -> trajectory saving) — the
+stand-in for TUM fr1/fr2 replay until real datasets exist (the
+reference's only validation mode, SURVEY.md §4). Asserts a
+similarity-aligned ATE bound (monocular trajectories are up to scale).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from myslam_tpu.io.synthetic import Rendered3DScene
+
+N_FRAMES = 44  # t_loop=40 -> the orbit closes and revisits its start
+
+
+def _umeyama_ate(est, gt):
+    """Similarity-aligned RMSE between two [N,3] trajectories."""
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    E, G = est - mu_e, gt - mu_g
+    U, S, Vt = np.linalg.svd(G.T @ E / len(est))
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    var_e = (E * E).sum() / len(est)
+    s = np.trace(np.diag(S) @ D) / max(var_e, 1e-12)
+    res = (s * (R @ E.T)).T + mu_g - gt
+    return float(np.sqrt((res * res).sum(1).mean()))
+
+
+@pytest.fixture(scope="module")
+def driver_run(tmp_path_factory):
+    seq_dir = str(tmp_path_factory.mktemp("seq"))
+    out_dir = str(tmp_path_factory.mktemp("out"))
+    scene = Rendered3DScene(width=416, height=320, t_loop=40,
+                            fx=330.0, fy=330.0, n_points=7000)
+    scene.write_tum_sequence(seq_dir, N_FRAMES)
+    settings = os.path.join(seq_dir, "settings.yaml")
+    with open(settings, "w") as f:
+        f.write("%YAML:1.0\n"
+                "Camera.fx: 330.0\nCamera.fy: 330.0\n"
+                "Camera.cx: 208.0\nCamera.cy: 160.0\n"
+                "Camera.width: 416\nCamera.height: 320\n"
+                "Camera.fps: 30.0\n"
+                "ORBextractor.nFeatures: 800\n"
+                "ORBextractor.scaleFactor: 1.2\n"
+                "ORBextractor.nLevels: 3\n"
+                "ORBextractor.iniThFAST: 20\n"
+                "ORBextractor.minThFAST: 7\n")
+    kf_out = os.path.join(out_dir, "kf.txt")
+    full_out = os.path.join(out_dir, "full.txt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "mono_tum.py"),
+         settings, seq_dir, "--platform", "cpu",
+         "--out", kf_out, "--full-out", full_out],
+        capture_output=True, text=True, timeout=1800, cwd=repo)
+    return proc, seq_dir, kf_out, full_out
+
+
+class TestDriverE2E:
+    def test_driver_completes(self, driver_run):
+        proc, *_ = driver_run
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert os.path.exists(driver_run[2])
+
+    def test_tracks_most_frames(self, driver_run):
+        proc, seq_dir, kf_out, full_out = driver_run
+        est = np.loadtxt(full_out)
+        assert est.ndim == 2 and est.shape[0] >= 0.8 * N_FRAMES, (
+            f"tracked only {0 if est.ndim < 2 else est.shape[0]} frames:\n"
+            + proc.stdout[-2000:])
+
+    def test_ate_bound(self, driver_run):
+        _, seq_dir, kf_out, full_out = driver_run
+        est = np.loadtxt(full_out)
+        gt = np.loadtxt(os.path.join(seq_dir, "groundtruth.txt"))
+        gt_by_t = {round(r[0], 4): r[1:4] for r in gt}
+        pairs = [(r[1:4], gt_by_t[round(r[0], 4)]) for r in est
+                 if round(r[0], 4) in gt_by_t]
+        assert len(pairs) >= 0.8 * N_FRAMES
+        e = np.asarray([p[0] for p in pairs])
+        g = np.asarray([p[1] for p in pairs])
+        ate = _umeyama_ate(e, g)
+        # orbit radius 2.5 m; demand cm-level after similarity alignment
+        assert ate < 0.08, f"ATE {ate*100:.1f} cm"

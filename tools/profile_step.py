@@ -113,7 +113,7 @@ def main():
 
     def full_step(c):
         st2, info = step(state, feats.replace(
-            xy=feats.xy + c * 1e-30), i + 30.0)
+            xy=feats.xy + c * 1e-30), i + 30.0, jnp.int32(i + 30))
         return (st2.Tcw, info["n_inliers"])
     timed("full fused step", full_step)
 
