@@ -53,12 +53,12 @@ class MultiSession:
         cam = self.fused.cam
         from ..geom import projection
 
-        def img_step(state, img, ts):
+        def img_step(state, img, ts, fid):
             feats = extract(img)
             und = projection.undistort_points(cam, feats.xy_raw)
             feats = feats.replace(
                 xy=jnp.where(feats.valid[:, None], und, 0.0))
-            return step(state, feats, ts)
+            return step(state, feats, ts, fid)
 
         return img_step
 
@@ -87,13 +87,22 @@ class MultiSession:
     def unstack(self, states: TrackState, i: int) -> TrackState:
         return jax.tree.map(lambda x: x[i], states)
 
-    def step(self, states, feats_stacked, timestamps):
+    def _frame_ids(self, states, frame_ids):
+        """Per-session REAL frame ids (src/Tracking.cc:984-1068 keyframe
+        gap rules); default = each session's running counter."""
+        if frame_ids is None:
+            return states.frame_id
+        return jnp.asarray(frame_ids, jnp.int32)
+
+    def step(self, states, feats_stacked, timestamps, frame_ids=None):
         """Advance every session by one frame. feats_stacked has a leading
         [S] axis; timestamps [S]."""
         return self._step(states, feats_stacked,
-                          jnp.asarray(timestamps, jnp.float32))
+                          jnp.asarray(timestamps, jnp.float32),
+                          self._frame_ids(states, frame_ids))
 
-    def step_images(self, states, images, timestamps):
+    def step_images(self, states, images, timestamps, frame_ids=None):
         """Extraction + tracking for every session ([S, H, W] images)."""
         return self._img_step(states, jnp.asarray(images, jnp.float32),
-                              jnp.asarray(timestamps, jnp.float32))
+                              jnp.asarray(timestamps, jnp.float32),
+                              self._frame_ids(states, frame_ids))

@@ -472,7 +472,9 @@ class FusedTracker:
             Tcw = select(need_kf, store2.kf_pose[kf_id], Tcw)
 
             velocity = se3.compose(Tcw, se3.inverse(state.Tcw))
-            new_state = TrackState(
+            # state.replace (not a fresh TrackState) so newly added fields
+            # (e.g. frozen) carry through by default
+            new_state = state.replace(
                 store=store2,
                 Tcw=Tcw,
                 velocity=select(tracked, velocity, se3.identity()),
@@ -496,7 +498,11 @@ class FusedTracker:
             info = {"Tcw": select(tracked, Tcw, state.Tcw),
                     "tracked": tracked,
                     "n_inliers": jnp.where(tracked, n_in, 0),
-                    "new_kf": need_kf}
+                    "new_kf": need_kf,
+                    # slot of the keyframe inserted THIS frame (-1 if
+                    # none) so chunked mode can run per-keyframe host
+                    # events for every insertion, not just the last
+                    "kf_id": jnp.where(need_kf, kf_id, -1)}
             return new_state, info
 
         return step

@@ -342,7 +342,9 @@ class Tracker:
             self.trajectory.append((int(frame_ids[i]),
                                     float(timestamps[i]),
                                     infos["Tcw"][i]))
-        self.frame_id = int(frame_ids[-1])
+        # convention: frame_id is the NEXT id (matches write_back /
+        # TrackState.frame_id = last + 1)
+        self.frame_id = int(frame_ids[-1]) + 1
         self.n_last_inliers = int(infos["n_inliers"][-1])
         last_feats = jax.tree.map(lambda x: x[-1], feats_chunk)
         if not bool(tracked[-1]):
@@ -355,10 +357,34 @@ class Tracker:
         elif np.asarray(infos["new_kf"]).any():
             self._fused.write_back(st, self, last_feats=last_feats)
             self.n_kf = int(np.asarray(st.store.kf_valid).sum())
-            kf_id = int(st.ref_kf)
-            self._post_keyframe_events(kf_id)
-            self.Tcw = self.store.kf_pose[kf_id]
-            self.last_obs = self.store.kf_obs[kf_id]
+            # run the host keyframe events for EVERY keyframe inserted
+            # in this chunk, in insertion order — the loop/reloc
+            # database must index them all (LocalMapping::Run processes
+            # each queued keyframe, src/LocalMapping.cc:48-113)
+            new_kf = np.asarray(infos["new_kf"])
+            kf_ids = [int(k) for k in
+                      np.asarray(infos["kf_id"])[np.nonzero(new_kf)[0]]]
+            last_kf = kf_ids[-1]
+            pose_before = np.asarray(self.store.kf_pose[last_kf])
+            for k in kf_ids:
+                self._post_keyframe_events(k)
+            pose_after = np.asarray(self.store.kf_pose[last_kf])
+            if bool(new_kf[-1]):
+                # the keyframe IS the chunk-end frame: its (possibly
+                # loop-corrected) row is authoritative
+                self.Tcw = self.store.kf_pose[last_kf]
+                self.last_obs = self.store.kf_obs[last_kf]
+            elif not np.allclose(pose_before, pose_after):
+                # a loop correction moved the map mid-chunk: re-anchor
+                # the chunk-end pose via its relative pose to the last
+                # keyframe (CorrectLoop's Tic propagation,
+                # src/LoopClosing.cc:444-475) instead of rewinding —
+                # chunk-end feats/obs stay paired with a chunk-end pose
+                rel = se3.compose(np.asarray(st.Tcw),
+                                  se3.inverse(pose_before))
+                self.Tcw = se3.compose(rel, pose_after)
+                self._last_Tcw = self.Tcw
+            # else: write_back already left chunk-end Tcw/last_obs
             self.last_feats = last_feats
             self._fstate = None
         return tracked
