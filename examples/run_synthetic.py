@@ -6,6 +6,7 @@ timing statistics and the ATE RMSE against ground truth, save the
 trajectory in TUM format.
 
 Usage: python examples/run_synthetic.py [n_frames] [--platform cpu]
+           [--kf-culling pressure|reference]
 """
 
 import os
@@ -35,11 +36,15 @@ def main():
     cam = synthetic.default_camera()
     seq = synthetic.FeatureSequence(cam, n_points=3000, feat_cap=512,
                                     noise_px=0.3, desc_flips=3)
+    culling = "pressure"
+    if "--kf-culling" in sys.argv:
+        culling = sys.argv[sys.argv.index("--kf-culling") + 1]
     cfg = tracking.TrackingConfig(
         kf_cap=64, pt_cap=8192, feat_cap=512,
         local_kf=8, local_pts=2048,
         ba_free=8, ba_fixed=8, ba_pts=2048, ba_obs=8,
-        tri_neighbors=4, max_new_points=256)
+        tri_neighbors=4, max_new_points=256,
+        kf_culling=culling)
     tr = tracking.Tracker(cam, cfg)
 
     times = []

@@ -101,6 +101,26 @@ def load_euroc(cam_dir: str, times_file: str) -> List[Tuple[float, str]]:
     return out
 
 
+def load_euroc_stereo(cam0_dir: str, cam1_dir: str,
+                      times_file: str) -> List[Tuple[float, str, str]]:
+    """EuRoC stereo: ns-stamp times file, left at cam0/data/<stamp>.png,
+    right at cam1/data/<stamp>.png (the stereo_euroc driver the
+    reference's CMake declares at CMakeLists.txt:110-116 but whose
+    source was deleted from the fork; pairing per upstream
+    stereo_euroc.cc LoadImages)."""
+    out = []
+    with open(times_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            stamp = line.split(",")[0].split()[0]
+            out.append((int(stamp) * 1e-9,
+                        os.path.join(cam0_dir, "data", stamp + ".png"),
+                        os.path.join(cam1_dir, "data", stamp + ".png")))
+    return out
+
+
 def load_image_list(list_file: str, times_file: str = None,
                     root: str = "") -> List[Tuple[float, str]]:
     """Plain image list + optional separate timestamp file (the fork's

@@ -173,26 +173,49 @@ class ImageSequence:
 class Rendered3DScene:
     """Render a NON-PLANAR 3D scene with a genuine revisit.
 
-    A cylindrical "room" wall of bright point sprites around the origin;
-    the camera orbits inside looking radially outward, sweeping the whole
-    wall and returning to its start — a true loop. Frames are [H, W]
-    float32 grayscale renders (splatted Gaussian sprites over a dark
-    background), suitable for writing to disk as PGM and replaying through
-    the dataset drivers (the stand-in for TUM fr1/fr2 until real datasets
-    are available; reference validation is dataset replay, SURVEY.md §4).
+    A TEXTURED cylindrical "room" wall around the origin, raycast per
+    pixel; the camera orbits inside looking radially outward, sweeping
+    the whole wall and returning to its start — a true loop (the texture
+    is periodic in azimuth, so the revisit sees exactly the surface it
+    saw at the start). Band-limited random texture gives ORB the rich,
+    stable local gradients real imagery has (point-sprite renders make
+    degenerate descriptors: a smooth blob's BRIEF comparisons sit at
+    noise level and its pyramid level flickers). Frames are [H, W]
+    float32 grayscale, suitable for writing to disk as PGM and replaying
+    through the dataset drivers (the stand-in for TUM fr1/fr2; reference
+    validation is dataset replay, SURVEY.md §4).
     """
 
     def __init__(self, width=512, height=384, n_points=9000,
                  wall_radius=6.0, orbit_radius=2.5, t_loop=72,
                  fx=380.0, fy=380.0, seed=3):
         rng = np.random.default_rng(seed)
-        ang = rng.uniform(0, 2 * np.pi, n_points)
-        rad = wall_radius + rng.uniform(-0.7, 0.7, n_points)
-        self.xyz = np.stack([
-            rad * np.sin(ang),
-            rng.uniform(-2.5, 2.5, n_points),
-            -rad * np.cos(ang)], 1).astype(np.float32)
-        self.bright = rng.uniform(70, 255, n_points).astype(np.float32)
+        # n_points kept for API compatibility: it scales texture detail.
+        # Texture resolution is kept WELL BELOW the screen sampling rate
+        # (~0.5 texture px per screen px at the orbit distance): at 1:1
+        # the per-frame bilinear resampling aliases, and detection
+        # repeatability collapses phase-dependently along the orbit.
+        tex_w = 2048
+        tex_h = 512
+        from ..ops import image as img_ops
+        import jax.numpy as _jnp
+        # multi-octave band-limited texture: structure at several scales
+        # keeps BRIEF comparisons decisively signed under the per-frame
+        # resampling/warp of the raycast (a single-octave blur leaves
+        # near-equal pairs that flip, inflating Hamming distances).
+        # Azimuthally periodic: blur with the seam tiled.
+        acc = np.zeros((tex_h, tex_w), np.float32)
+        for octave_w, sigma in [(1.0, 0.8), (2.0, 1.8), (4.0, 4.0)]:
+            n = rng.uniform(-1, 1, (tex_h, tex_w)).astype(np.float32)
+            n3 = np.concatenate([n[:, -32:], n, n[:, :32]], axis=1)
+            n3 = np.asarray(img_ops.gaussian_blur(
+                _jnp.asarray(n3), 13, sigma))
+            acc += octave_w * n3[:, 32:-32]
+        self.tex = (acc - acc.min()) / max(acc.max() - acc.min(), 1e-6) \
+            * 235.0 + 10.0
+        self.tex_w, self.tex_h = tex_w, tex_h
+        self.wall_radius = wall_radius
+        self.y_extent = 6.0       # wall height mapped onto the texture
         self.width, self.height = width, height
         self.fx, self.fy = fx, fy
         self.cx, self.cy = width / 2.0, height / 2.0
@@ -220,29 +243,65 @@ class Rendered3DScene:
         return -T[:, :3].T @ T[:, 3]
 
     def frame(self, i: int) -> np.ndarray:
-        T = self.pose(i)
-        pc = self.xyz @ T[:, :3].T + T[:, 3]
-        z = pc[:, 2]
-        vis = z > 0.5
-        u = self.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.cx
-        v = self.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.cy
-        R = 3  # sprite half-extent in px
-        vis &= (u > -R) & (u < self.width + R) \
-            & (v > -R) & (v < self.height + R)
-        img = np.zeros((self.height + 2 * R, self.width + 2 * R),
-                       np.float32)
-        yy, xx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float32)
-        for j in np.nonzero(vis)[0]:
-            ui, vi = u[j] + R, v[j] + R
-            u0, v0 = int(np.floor(ui)), int(np.floor(vi))
-            du, dv = ui - u0, vi - v0
-            # subpixel-centered Gaussian sprite, brightness ~ 1/depth
-            g = np.exp(-((xx - du) ** 2 + (yy - dv) ** 2) / (2 * 1.1 ** 2))
-            patch = img[v0 - R + R:v0 + R + 1 + R, u0 - R + R:u0 + R + 1 + R]
-            if patch.shape == g.shape:
-                np.maximum(patch, self.bright[j]
-                           * (2.0 / max(z[j], 1.0)) * g, out=patch)
-        return np.clip(img[R:-R, R:-R], 0, 255)
+        """Raycast the textured cylinder wall, 2x supersampled
+        (antialiasing — aliasing breaks frame-to-frame detection
+        repeatability)."""
+        return self.render_pose(self.pose(i))
+
+    def frame_right(self, i: int, baseline: float) -> np.ndarray:
+        """Right-camera view: the camera displaced by `baseline` along
+        its own +x axis (a rectified stereo rig)."""
+        T = self.pose(i).copy()
+        T[:, 3] = T[:, 3] - np.array([baseline, 0.0, 0.0], np.float32)
+        return self.render_pose(T)
+
+    def render_pose(self, T) -> np.ndarray:
+        big = self._render(T, 2)
+        return 0.25 * (big[0::2, 0::2] + big[0::2, 1::2]
+                       + big[1::2, 0::2] + big[1::2, 1::2])
+
+    def _render(self, T, ss: int = 1) -> np.ndarray:
+        Rcw, t = T[:, :3], T[:, 3]
+        Rwc = Rcw.T
+        C = -Rwc @ t
+        u, v = np.meshgrid(
+            (np.arange(self.width * ss, dtype=np.float32) + 0.5) / ss - 0.5,
+            (np.arange(self.height * ss, dtype=np.float32) + 0.5) / ss - 0.5)
+        d_cam = np.stack([(u - self.cx) / self.fx,
+                          (v - self.cy) / self.fy,
+                          np.ones_like(u)], axis=-1)       # [H, W, 3]
+        d = d_cam @ Rwc.T                                  # world dirs
+        # intersect x^2 + z^2 = r^2 (cylinder axis = y)
+        dx, dz = d[..., 0], d[..., 2]
+        cx_, cz = C[0], C[2]
+        a = dx * dx + dz * dz
+        b = 2.0 * (cx_ * dx + cz * dz)
+        c = cx_ * cx_ + cz * cz - self.wall_radius ** 2
+        disc = np.maximum(b * b - 4 * a * c, 0.0)
+        s = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)
+        hit = C[None, None, :] + s[..., None] * d           # world point
+        theta = np.arctan2(hit[..., 0], -hit[..., 2])       # azimuth
+        ty = hit[..., 1]
+        # texture lookup: periodic in azimuth, clamped in height
+        px = (theta / (2 * np.pi)) % 1.0 * self.tex_w
+        py = np.clip((ty / self.y_extent + 0.5) * (self.tex_h - 2),
+                     0, self.tex_h - 2)
+        x0 = np.floor(px).astype(np.int64) % self.tex_w
+        x1 = (x0 + 1) % self.tex_w
+        y0 = np.floor(py).astype(np.int64)
+        fxp = (px - np.floor(px)).astype(np.float32)
+        fyp = (py - y0).astype(np.float32)
+        t00 = self.tex[y0, x0]
+        t01 = self.tex[y0, x1]
+        t10 = self.tex[y0 + 1, x0]
+        t11 = self.tex[y0 + 1, x1]
+        img = ((1 - fyp) * ((1 - fxp) * t00 + fxp * t01)
+               + fyp * ((1 - fxp) * t10 + fxp * t11))
+        # no view-dependent shading: a camera-anchored brightness gradient
+        # sliding over the texture flips near-equal BRIEF comparisons
+        # frame to frame (measured: it alone pushes true-match Hamming
+        # distances past TH_LOW on band-limited texture)
+        return np.clip(img, 0, 255).astype(np.float32)
 
     def write_tum_sequence(self, out_dir: str, n_frames: int):
         """Write PGM frames + rgb.txt + groundtruth.txt in TUM layout."""
@@ -264,3 +323,33 @@ class Rendered3DScene:
             f.write("\n".join(lines) + "\n")
         with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
             f.write("\n".join(gt) + "\n")
+
+    def write_euroc_stereo_sequence(self, out_dir: str, n_frames: int,
+                                    baseline: float):
+        """Write a EuRoC-layout stereo sequence: mav0/cam0/data/<ns>.png
+        + mav0/cam1/data/<ns>.png (PGM payload — the dataset reader
+        sniffs content, not extension), a ns times file, and
+        groundtruth.txt (TUM rows for the LEFT camera)."""
+        import os
+        d0 = os.path.join(out_dir, "mav0", "cam0", "data")
+        d1 = os.path.join(out_dir, "mav0", "cam1", "data")
+        os.makedirs(d0, exist_ok=True)
+        os.makedirs(d1, exist_ok=True)
+        stamps, gt = [], []
+        for i in range(n_frames):
+            ns = int(i / 30.0 * 1e9)
+            for d, img in ((d0, self.frame(i)),
+                           (d1, self.frame_right(i, baseline))):
+                with open(os.path.join(d, f"{ns}.png"), "wb") as f:
+                    f.write(b"P5\n%d %d\n255\n" % (self.width, self.height))
+                    f.write(img.astype(np.uint8).tobytes())
+            stamps.append(str(ns))
+            C = self.gt_center(i)
+            gt.append(f"{ns * 1e-9:.6f} {C[0]} {C[1]} {C[2]} 0 0 0 1")
+        with open(os.path.join(out_dir, "times.txt"), "w") as f:
+            f.write("\n".join(stamps) + "\n")
+        with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+            f.write("\n".join(gt) + "\n")
+        return (os.path.join(out_dir, "mav0", "cam0"),
+                os.path.join(out_dir, "mav0", "cam1"),
+                os.path.join(out_dir, "times.txt"))

@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..features.frame import FrameFeatures
 from ..geom import se3, triangulation
@@ -207,13 +208,16 @@ def scene_median_depth(store: MapStore, kf_id):
     return jnp.where(n > 0, med, 1.0)
 
 
-@partial(jax.jit, static_argnames=())
-def fuse_into_keyframe(store: MapStore, cam: Camera, kf_id, pt_ids, pt_ok):
+@partial(jax.jit, static_argnames=("th",))
+def fuse_into_keyframe(store: MapStore, cam: Camera, kf_id, pt_ids, pt_ok,
+                       th: float = 1.0):
     """Project candidate points into keyframe kf_id, match, and either add
     the observation (feature free) or merge duplicate points (feature
     already associated) — ORBmatcher::Fuse (src/ORBmatcher.cc:825-975).
 
-    pt_ids [M] candidate point ids, pt_ok [M] mask.
+    pt_ids [M] candidate point ids, pt_ok [M] mask. th: search-radius
+    multiplier (the reference uses 3.0 in SearchInNeighbors and 4.0 in
+    the loop closer's SearchAndFuse, src/LoopClosing.cc:602).
     """
     feats = kf_features(store, kf_id)
     pid_c = jnp.clip(pt_ids, 0, store.pt_cap - 1)
@@ -222,7 +226,7 @@ def fuse_into_keyframe(store: MapStore, cam: Camera, kf_id, pt_ids, pt_ok):
         cam, store.kf_pose[kf_id], feats,
         store.pt_xyz[pid_c], store.pt_desc[pid_c], store.pt_normal[pid_c],
         0.8 * store.pt_min_dist[pid_c], 1.2 * store.pt_max_dist[pid_c],
-        valid, th=1.0, scale=store.scale, n_levels=store.n_levels)
+        valid, th=th, scale=store.scale, n_levels=store.n_levels)
 
     existing = store.kf_obs[kf_id, idx]          # current point at feature
     has_pt = ok & (existing >= 0) & (existing != pt_ids)
@@ -252,17 +256,38 @@ def fuse_into_keyframe(store: MapStore, cam: Camera, kf_id, pt_ids, pt_ok):
     return store
 
 
-def search_in_neighbors(store: MapStore, cam: Camera, kf_id, neighbor_ids):
-    """Two-way fuse with first-order neighbors (LocalMapping::
-    SearchInNeighbors, src/LocalMapping.cc:456-536; the reference also takes
-    second-order neighbors — covered transitively as neighbors are
-    processed on their own insertions)."""
+def second_order_neighbors(store: MapStore, kf_id, first_ids,
+                           per_neighbor: int = 5):
+    """Top-``per_neighbor`` covisible keyframes of each first-order
+    neighbor, excluding kf_id and the first-order set itself
+    (LocalMapping::SearchInNeighbors second-order harvest,
+    src/LocalMapping.cc:463-475). Host helper; returns a python list."""
+    first = [int(n) for n in np.asarray(first_ids) if int(n) >= 0]
+    seen = set(first) | {int(kf_id)}
+    out = []
+    for nb in first:
+        ids2, w2 = top_covisible(store, nb, per_neighbor)
+        for n2, w in zip(np.asarray(ids2), np.asarray(w2)):
+            n2 = int(n2)
+            if n2 >= 0 and int(w) > 0 and n2 not in seen:
+                out.append(n2)
+                seen.add(n2)
+    return out
+
+
+def search_in_neighbors(store: MapStore, cam: Camera, kf_id, neighbor_ids,
+                        second_order: int = 5):
+    """Two-way fuse with first-order neighbors AND their top covisible
+    neighbors (LocalMapping::SearchInNeighbors, src/LocalMapping.cc:456-536
+    — the reference extends the target set with each neighbor's best 5
+    covisible keyframes before fusing both directions)."""
+    targets = [int(n) for n in np.asarray(neighbor_ids) if int(n) >= 0]
+    if second_order > 0:
+        targets = targets + second_order_neighbors(
+            store, kf_id, targets, second_order)
     own_pts = store.kf_obs[kf_id]
     own_ok = own_pts >= 0
-    for nb in neighbor_ids:
-        if nb < 0:
-            continue
-        nb = int(nb)
+    for nb in targets:
         # forward: my points into neighbor
         store = fuse_into_keyframe(store, cam, nb, own_pts, own_ok)
         # backward: neighbor's points into me
@@ -500,11 +525,11 @@ def global_bundle_adjustment(store: MapStore, cam: Camera, iters: int = 20,
     back. No silent coverage caps — the arena IS the problem.
 
     mesh: optional jax.sharding.Mesh — edges shard across devices and the
-    Schur blocks reduce with psum (parallel/dist_ba.py; monocular edges
-    only on that path for now).
+    Schur blocks reduce with psum (parallel/dist_ba.py; mono and stereo
+    edges both distribute).
     """
     prob = build_global_ba(store, o_max, stereo, bf)
-    if mesh is not None and not stereo:
+    if mesh is not None:
         from ..parallel import dist_ba
         out = dist_ba.distributed_bundle_adjust(
             cam, prob, mesh, iters=iters)

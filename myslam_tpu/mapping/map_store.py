@@ -68,6 +68,13 @@ class MapStore:
     pt_first_kf: jnp.ndarray   # [P] i32 (culling rules use KF age)
     pt_visible: jnp.ndarray    # [P] i32 tracking counters
     pt_found: jnp.ndarray      # [P] i32  (MapPoint::mnVisible/mnFound)
+    # spanning tree: parent arena slot per keyframe (-1 = root/unset).
+    # The reference maintains this in KeyFrame::mpParent (first
+    # UpdateConnections sets parent = max-weight covisible KF,
+    # src/KeyFrame.cc:289-379) and repairs it on culling
+    # (KeyFrame::SetBadFlag, src/KeyFrame.cc:453-545); the essential
+    # graph optimizer consumes the edges (src/Optimizer.cc:846-932).
+    kf_parent: jnp.ndarray     # [K] i32
 
     # static config
     scale: float = struct.field(pytree_node=False, default=1.2)
@@ -114,6 +121,7 @@ class MapStore:
             pt_first_kf=jnp.full(pt_cap, -1, jnp.int32),
             pt_visible=jnp.zeros(pt_cap, jnp.int32),
             pt_found=jnp.zeros(pt_cap, jnp.int32),
+            kf_parent=jnp.full(kf_cap, -1, jnp.int32),
             scale=scale, n_levels=n_levels,
         )
 
@@ -155,7 +163,19 @@ def add_keyframe(store: MapStore, pose, feats, obs, frame_id, timestamp):
             jnp.full(store.feat_cap, -1.0, jnp.float32)
             if feats.u_right is None
             else jnp.where(feats.valid, feats.u_right, -1.0)),
+        kf_parent=store.kf_parent.at[kf_id].set(-1),
     ), kf_id
+
+
+@jax.jit
+def set_parent(store: MapStore, kf_id, parent):
+    """Attach a keyframe to the spanning tree (KeyFrame::ChangeParent;
+    the reference picks the max-covisibility keyframe on the first
+    UpdateConnections, src/KeyFrame.cc:289-379 — callers pass their best
+    covisible neighbor)."""
+    return store.replace(
+        kf_parent=store.kf_parent.at[kf_id].set(
+            jnp.asarray(parent, jnp.int32)))
 
 
 @jax.jit
@@ -416,9 +436,16 @@ def erase_points(store: MapStore, kill_mask):
 
 @jax.jit
 def erase_keyframe(store: MapStore, kf_id):
-    """Delete a keyframe (KeyFrame::SetBadFlag, src/KeyFrame.cc:453-545,
-    minus spanning-tree repair — the array design derives parent structure
-    from covisibility on demand)."""
+    """Delete a keyframe (KeyFrame::SetBadFlag, src/KeyFrame.cc:453-545)
+    including spanning-tree repair: children of the erased keyframe are
+    re-parented onto ITS parent (the reference's fallback assignment,
+    src/KeyFrame.cc:541-545 — the greedy max-covisibility candidate walk
+    refines quality, but the parent hand-off alone preserves the tree
+    exactly where the erased node stood, which is what the essential
+    graph's connectivity needs)."""
+    new_parent = store.kf_parent[kf_id]
+    parents = jnp.where(store.kf_parent == kf_id, new_parent,
+                        store.kf_parent)
     return store.replace(
         kf_valid=store.kf_valid.at[kf_id].set(False),
         kf_obs=store.kf_obs.at[kf_id].set(
@@ -427,6 +454,7 @@ def erase_keyframe(store: MapStore, kf_id):
             jnp.zeros(store.feat_cap, bool)),
         kf_ur=store.kf_ur.at[kf_id].set(
             jnp.full(store.feat_cap, -1.0, jnp.float32)),
+        kf_parent=parents.at[kf_id].set(-1),
     )
 
 

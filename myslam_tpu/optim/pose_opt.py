@@ -28,6 +28,44 @@ CHI2_MONO = 5.991    # 95% quantile of chi^2_2 (reference src/Optimizer.cc:337)
 CHI2_STEREO = 7.815  # 95% quantile of chi^2_3 (reference src/Optimizer.cc:338)
 
 
+def _chol_solve6(H, b):
+    """Solve the damped-SPD 6x6 system H x = b by fully unrolled Cholesky.
+
+    jnp.linalg.solve lowers to an LU custom call with a pivoting loop —
+    serial scalar work the TPU pays ~10us for, 40x per pose optimization.
+    The unrolled Cholesky is pure elementwise arithmetic XLA fuses into
+    the surrounding kernel (and it vmaps cleanly for the multi-start
+    escape). H must be symmetric positive definite (guaranteed by the
+    Marquardt-damped Gauss-Newton Hessian plus the 1e-9 floor)."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = H[..., i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv_d = 1.0 / L[i][i]
+        for j in range(i + 1, 6):
+            s = H[..., j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * 6
+    for i in range(6):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _edges(cam, Tcw, xyz_w, uvr, stereo_mask, bf):
     """3-row residuals with the mono third row masked off."""
     e, Jp, _, z = stereo_point_jacobians(cam, Tcw, xyz_w, uvr, bf,
@@ -142,7 +180,7 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
         b = sums[36:42]
         # Marquardt damping on the diagonal.
         H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-        delta = jnp.linalg.solve(H_damped, b)
+        delta = _chol_solve6(H_damped, b)
         T_new = se3.retract(T, delta)
         improved = total_chi2(T_new) < cost_cur
         T_next = jax.tree.map(lambda a, b: jnp.where(improved, a, b), T_new, T)

@@ -25,8 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..matching.vocabulary import KeyFrameDatabase
 
 
-def shard_database(db: KeyFrameDatabase, mesh: Mesh, axis: str = "kf"):
+def shard_database(db: KeyFrameDatabase, mesh: Mesh, axis: str = None):
     """Pad the row axis to the mesh size and shard rows across devices."""
+    axis = axis or mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     K = db.bow.shape[0]
     pad = (-K) % n_dev
@@ -40,7 +41,62 @@ def shard_database(db: KeyFrameDatabase, mesh: Mesh, axis: str = "kf"):
         valid=jax.device_put(valid, sh))
 
 
-def make_sharded_query(mesh: Mesh, axis: str = "kf", top_k: int = 8):
+def padded_rows(kf_cap: int, mesh: Mesh, axis: str = None) -> int:
+    """Row count for a database that shards evenly over the mesh axis."""
+    axis = axis or mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    return ((kf_cap + n_dev - 1) // n_dev) * n_dev
+
+
+def create_sharded_database(kf_cap: int, n_words: int, mesh: Mesh,
+                            axis: str = None) -> KeyFrameDatabase:
+    """An empty database whose rows live sharded across the mesh from the
+    start; .add/.erase scatters preserve the sharding, so the wide
+    [K, words] tf-idf matrix (65k words with an imported vocabulary) never
+    materializes on one device."""
+    axis = axis or mesh.axis_names[0]
+    db = KeyFrameDatabase.create(padded_rows(kf_cap, mesh, axis), n_words)
+    sh = NamedSharding(mesh, P(axis))
+    return KeyFrameDatabase(
+        bow=jax.device_put(db.bow, sh),
+        has=jax.device_put(db.has, sh),
+        valid=jax.device_put(db.valid, sh))
+
+
+def make_sharded_scores(mesh: Mesh, axis: str = None):
+    """Build a jitted sharded query with the SAME contract as
+    vocabulary.query_database: (db, query_vec [W]) -> (scores [K],
+    common_words [K]) over ALL rows. Each device scores its local row
+    slice of the sharded database; the tiny [K] result vectors are
+    all-gathered. This is the drop-in query behind LoopCloser.detect /
+    relocalization.detect_candidates when a mesh is configured
+    (reference role: KeyFrameDatabase::DetectLoopCandidates /
+    DetectRelocalizationCandidates, src/KeyFrameDatabase.cc:76-311)."""
+
+    axis = axis or mesh.axis_names[0]
+
+    def local_part(bow, has, valid, q):
+        scores = 1.0 - 0.5 * jnp.sum(jnp.abs(bow - q[None, :]), axis=-1)
+        common = jnp.sum(has & (q > 0.0)[None, :], axis=-1).astype(jnp.int32)
+        scores = jnp.where(valid, scores, -1.0)
+        common = jnp.where(valid, common, 0)
+        s_all = jax.lax.all_gather(scores, axis).reshape(-1)
+        c_all = jax.lax.all_gather(common, axis).reshape(-1)
+        return s_all, c_all
+
+    fn = jax.shard_map(
+        local_part, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def query(db: KeyFrameDatabase, q):
+        return fn(db.bow, db.has, db.valid, q)
+
+    return query
+
+
+def make_sharded_query(mesh: Mesh, axis: str = None, top_k: int = 8):
     """Build a jitted sharded query:
     (db, query_vec [W], exclude_mask [K]) -> (scores [top_k], ids [top_k]).
 
@@ -49,6 +105,8 @@ def make_sharded_query(mesh: Mesh, axis: str = "kf", top_k: int = 8):
     covisible keyframes the detector must skip
     (src/KeyFrameDatabase.cc:84-106).
     """
+
+    axis = axis or mesh.axis_names[0]
 
     def local_part(bow, valid, q, excl):
         # L1 similarity on each local row: 2 - |v1 - v2|_1 with normalized

@@ -34,6 +34,7 @@ from ..geom import projection, se3
 from ..geom.projection import Camera
 from ..mapping import local_mapping, map_store
 from ..mapping.map_store import NO_POINT, MapStore
+from ..ops import indexing
 from . import tracking
 from .tracking import (OK, LOST, TrackingConfig,
                        _local_map_harvest, _local_map_match,
@@ -282,6 +283,10 @@ class FusedTracker:
             # triangulate with the best covisible neighbors
             nb_ids, _ = local_mapping.top_covisible(
                 store, kf_id, cfg.tri_neighbors)
+            # spanning tree: parent = best covisible keyframe
+            # (src/KeyFrame.cc:289-379)
+            store = map_store.set_parent(
+                store, kf_id, jnp.where(nb_ids[0] >= 0, nb_ids[0], -1))
 
             def tri_body(st, nb):
                 st2 = jax.lax.cond(
@@ -299,7 +304,9 @@ class FusedTracker:
             store = map_store.refresh_point_stats(
                 store, jnp.where(own >= 0, own, -1))
 
-            # fuse with the top neighbors (SearchInNeighbors)
+            # fuse with the top neighbors (SearchInNeighbors) extended by
+            # each neighbor's best covisible keyframes — the reference's
+            # second-order target harvest (src/LocalMapping.cc:463-475)
             def fuse_body(st, nb):
                 def run(s):
                     own_pts = s.kf_obs[kf_id]
@@ -311,8 +318,25 @@ class FusedTracker:
 
                 return jax.lax.cond(nb >= 0, run, lambda s: s, st), None
 
-            store, _ = jax.lax.scan(fuse_body, store,
-                                    nb_ids[:cfg.fuse_neighbors])
+            fuse_first = nb_ids[:cfg.fuse_neighbors]
+            if cfg.fuse_second_order > 0:
+                K = store.kf_cap
+                Wk = map_store.covisibility(store)
+                sel = indexing.onehot(fuse_first, K)          # [f, K]
+                rows2 = jnp.dot(sel, Wk.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+                is_first = indexing.bincount_mm(fuse_first, K) > 0
+                mask2 = store.kf_valid & ~is_first
+                mask2 = mask2.at[kf_id].set(False)
+                rows2 = jnp.where(mask2[None, :], rows2, -1.0)
+                w2, ids2 = jax.lax.top_k(rows2, cfg.fuse_second_order)
+                ids2 = jnp.where((w2 > 0) & (fuse_first >= 0)[:, None],
+                                 ids2, -1)
+                fuse_targets = jnp.concatenate(
+                    [fuse_first, ids2.reshape(-1)])
+            else:
+                fuse_targets = fuse_first
+            store, _ = jax.lax.scan(fuse_body, store, fuse_targets)
             own = store.kf_obs[kf_id]
             store = map_store.refresh_point_stats(
                 store, jnp.where(own >= 0, own, -1))

@@ -137,13 +137,18 @@ def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
 
 
 @partial(jax.jit, static_argnames=("e_max",))
-def _essential_edges(kf_valid, kf_seq, W, Rw, tw, e_max: int):
-    """Device-side essential-graph structural edges: sequential
-    (spanning-tree role) + strong covisibility (w >= 100), with SE3
-    relative measurements from the pre-correction poses
+def _essential_edges(kf_valid, kf_seq, kf_parent, W, Rw, tw, e_max: int):
+    """Device-side essential-graph structural edges: SPANNING TREE
+    (kf_parent, maintained by map_store across insertions AND culling
+    re-parenting) + strong covisibility (w >= 100), with SE3 relative
+    measurements from the pre-correction poses
     (Optimizer::OptimizeEssentialGraph edge harvest,
     src/Optimizer.cc:846-932 — the reference walks per-KF edge sets on
     the host; here one [K,K] mask + one top_k compaction).
+
+    Keyframes with no recorded parent (maps loaded from older dumps, or
+    a root separated by a reset) fall back to their sequential successor
+    so the graph stays connected.
 
     Returns (edge_i, edge_j, on, meas_R, meas_t) with e_max rows.
     """
@@ -152,15 +157,21 @@ def _essential_edges(kf_valid, kf_seq, W, Rw, tw, e_max: int):
     iota = jnp.arange(K)
     cov = (W >= 100) & valid2 & (iota[:, None] < iota[None, :])
 
-    # sequential successor of each valid KF in insertion order
+    # spanning-tree edges child -> parent (KeyFrame::mpParent parity)
+    par_ok = (kf_valid & (kf_parent >= 0)
+              & kf_valid[jnp.clip(kf_parent, 0, K - 1)])
+    par_mask = (jnp.zeros((K, K), bool)
+                .at[iota, jnp.clip(kf_parent, 0, K - 1)].set(par_ok))
+
+    # sequential successor fallback for parentless non-root keyframes
     seqs = jnp.where(kf_valid, kf_seq, jnp.int32(2**30))
     newer = (seqs[None, :] > seqs[:, None]) & valid2
     nxt = jnp.argmin(jnp.where(newer, seqs[None, :], 2**30), axis=1)
-    has_nxt = jnp.any(newer, axis=1)
+    has_nxt = jnp.any(newer, axis=1) & ~par_ok & kf_valid
     seq_mask = (jnp.zeros((K, K), bool)
                 .at[iota, nxt].set(has_nxt))
 
-    mask = cov | seq_mask
+    mask = cov | par_mask | seq_mask
     val, idx = jax.lax.top_k(mask.reshape(K * K).astype(jnp.float32),
                              e_max)
     on = val > 0
@@ -185,8 +196,20 @@ class LoopCloser:
                  bf: float = 0.0, mesh=None):
         self.cam = cam
         self.vocab = vocab
-        self.db = vocabulary.KeyFrameDatabase.create(
-            kf_cap, vocab.words.shape[0])
+        # with a mesh, the [K, words] database rows shard across devices
+        # and every BoW query runs as a sharded shard_map reduction
+        # (parallel/loop_search.py) — the scale-out form of the reference's
+        # inverted file (src/KeyFrameDatabase.cc:33-46)
+        if mesh is not None:
+            from ..parallel import loop_search
+            self.db = loop_search.create_sharded_database(
+                kf_cap, vocab.words.shape[0], mesh)
+            self.query_db = loop_search.make_sharded_scores(mesh)
+        else:
+            self.db = vocabulary.KeyFrameDatabase.create(
+                kf_cap, vocab.words.shape[0])
+            self.query_db = vocabulary.query_database
+        self.kf_cap = kf_cap
         self.state = LoopState()
         self.consistency_th = consistency_th
         self.cooldown_kfs = cooldown_kfs
@@ -219,8 +242,13 @@ class LoopCloser:
         re-encoding every live keyframe. Consistency groups reset — scores
         under the old words are not comparable to the new ones."""
         self.vocab = vocab
-        self.db = vocabulary.KeyFrameDatabase.create(
-            self.db.bow.shape[0], vocab.words.shape[0])
+        if self.mesh is not None:
+            from ..parallel import loop_search
+            self.db = loop_search.create_sharded_database(
+                self.kf_cap, vocab.words.shape[0], self.mesh)
+        else:
+            self.db = vocabulary.KeyFrameDatabase.create(
+                self.db.bow.shape[0], vocab.words.shape[0])
         self.state.groups = []
         for k in kf_ids:
             self.add_keyframe_bow(store, int(k))
@@ -235,9 +263,10 @@ class LoopCloser:
         covisible = cov_row >= 15
         cov_ids = np.nonzero(covisible)[0]
 
-        scores, common = vocabulary.query_database(self.db, vec)
-        scores = np.asarray(scores).copy()
-        common = np.asarray(common).copy()
+        scores, common = self.query_db(self.db, vec)
+        # sharded databases pad the row axis to the mesh size
+        scores = np.asarray(scores)[:store.kf_cap].copy()
+        common = np.asarray(common)[:store.kf_cap].copy()
 
         # min reference score = lowest BoW score against covisible KFs
         min_score = min((scores[c] for c in cov_ids), default=0.3)
@@ -422,10 +451,30 @@ class LoopCloser:
             store = store.replace(
                 kf_pose=store.kf_pose.at[g].set(jnp.asarray(T)))
 
-        # fuse loop-side points into the current group
-        cand_obs = store.kf_obs[cand]
-        store = local_mapping.fuse_into_keyframe(
-            store, cam, kf_id, cand_obs, cand_obs >= 0)
+        # SearchAndFuse (src/LoopClosing.cc:588-614): project the LOOP
+        # NEIGHBORHOOD's points (candidate + its covisible group) into
+        # EVERY keyframe of the corrected group with the reference's wide
+        # radius (th=4.0). These merges are what anchor the corrected
+        # poses to the old structure — without enough cross-loop
+        # associations the subsequent GBA cannot pull the smeared
+        # pose-graph solution back onto the map.
+        Wc2 = np.asarray(map_store.covisibility(store))
+        loop_kfs = set(np.nonzero(Wc2[cand] >= 15)[0].tolist()) | {cand}
+        loop_mask = np.zeros(store.pt_cap, bool)
+        for g in loop_kfs:
+            o = np.asarray(store.kf_obs[g])
+            loop_mask[o[o >= 0]] = True
+        loop_ids_np = np.nonzero(loop_mask)[0]
+        cap = 8192
+        pad = np.full(max(0, cap - len(loop_ids_np)), -1, np.int64)
+        loop_ids = jnp.asarray(
+            np.concatenate([loop_ids_np[:cap], pad]).astype(np.int32))
+        for g in sorted(group):
+            store = local_mapping.fuse_into_keyframe(
+                store, cam, int(g), loop_ids, loop_ids >= 0, th=4.0)
+        fused_own = store.kf_obs[kf_id]
+        store = map_store.refresh_point_stats(
+            store, jnp.where(fused_own >= 0, fused_own, -1))
 
         # --- essential-graph optimization (src/LoopClosing.cc:568) ---
         store = self._optimize_essential_graph(
@@ -454,7 +503,7 @@ class LoopCloser:
         # K=256 plus one jnp compose round-trip per edge
         W = map_store.covisibility(store)
         ei, ej, on, mRd, mtd = _essential_edges(
-            store.kf_valid, store.kf_seq, W,
+            store.kf_valid, store.kf_seq, store.kf_parent, W,
             jnp.asarray(Rw), jnp.asarray(tw), e_max=6 * K)
         msd = jnp.ones(ei.shape[0], jnp.float32)
 

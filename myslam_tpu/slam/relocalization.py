@@ -35,9 +35,8 @@ from ..optim import pose_opt
 from ..solvers import pnp as pnp_solver
 
 
-@partial(jax.jit, static_argnames=("n_cands", "group_k"))
 def detect_candidates(db: KeyFrameDatabase, store: MapStore, vec,
-                      n_cands: int = 8, group_k: int = 10):
+                      n_cands: int = 8, group_k: int = 10, query_fn=None):
     """Relocalization candidate keyframes for a query BoW vector.
 
     Dense form of KeyFrameDatabase::DetectRelocalizationCandidates
@@ -50,11 +49,25 @@ def detect_candidates(db: KeyFrameDatabase, store: MapStore, vec,
       4. keep groups scoring > 0.75 * best group; each contributes its
          best single keyframe.
 
+    query_fn: optional replacement for vocabulary.query_database with the
+    same (db, vec) -> (scores, common) contract — a mesh-configured tracker
+    passes the sharded query (parallel/loop_search.make_sharded_scores),
+    whose padded rows are truncated here.
+
     Returns (ids [n_cands] i32, ok [n_cands] bool), ranked by group score.
     """
+    scores, common = (query_fn or vocabulary.query_database)(db, vec)
+    return _candidates_from_scores(scores, common, db.valid, store,
+                                   n_cands, group_k)
+
+
+@partial(jax.jit, static_argnames=("n_cands", "group_k"))
+def _candidates_from_scores(scores, common, db_valid, store: MapStore,
+                            n_cands: int = 8, group_k: int = 10):
     K = store.kf_cap
-    scores, common = vocabulary.query_database(db, vec)
-    alive = db.valid & store.kf_valid
+    scores = scores[:K]
+    common = common[:K]
+    alive = db_valid[:K] & store.kf_valid
     common = jnp.where(alive, common, 0)
     max_common = jnp.max(common).astype(jnp.float32)
     cand = alive & (common.astype(jnp.float32) > 0.8 * max_common) \

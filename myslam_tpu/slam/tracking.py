@@ -66,6 +66,20 @@ class TrackingConfig:
     tri_neighbors: int = 6
     max_new_points: int = 512
     fuse_neighbors: int = 2   # SearchInNeighbors breadth per insertion
+    # second-order fuse targets per first-order neighbor (the reference
+    # extends the fuse set with each neighbor's best 5 covisible KFs,
+    # src/LocalMapping.cc:463-475)
+    fuse_second_order: int = 2
+    # keyframe culling policy: "pressure" culls at most one redundant
+    # keyframe per insertion and only when the arena is >75% full (keeps
+    # the long-baseline anchors monocular structure needs — see
+    # _post_keyframe_events); "reference" applies the always-on 90%-
+    # redundancy rule of LocalMapping::KeyFrameCulling
+    # (src/LocalMapping.cc:634-720) after every insertion. Measured on the
+    # rendered synthetic suite the two agree to within the run-to-run ATE
+    # noise (see BASELINE.md "KF culling policy"); "pressure" is the
+    # default because it bounds map churn per frame.
+    kf_culling: str = "pressure"
     # loop closing
     enable_loop_closing: bool = True
     vocab_words: int = 512
@@ -254,9 +268,15 @@ def _local_map_match(store: MapStore, cam: Camera, Tcw, feats, obs, pt_ids):
 class Tracker:
     """Host-side driver around the jitted tracking stages."""
 
-    def __init__(self, cam: Camera, config: Optional[TrackingConfig] = None):
+    def __init__(self, cam: Camera, config: Optional[TrackingConfig] = None,
+                 mesh=None):
         self.cam = cam
         self.cfg = config or TrackingConfig()
+        # optional jax.sharding.Mesh: whole-map (loop/GBA) bundle
+        # adjustments shard their edge lists across it (parallel/dist_ba),
+        # and the loop/reloc keyframe database queries shard their row
+        # axis (parallel/loop_search) — BASELINE config 5 wiring.
+        self.mesh = mesh
         self.store = MapStore.create(
             self.cfg.kf_cap, self.cfg.pt_cap, self.cfg.feat_cap,
             self.cfg.scale, self.cfg.n_levels)
@@ -333,6 +353,46 @@ class Tracker:
         timestamps = np.asarray(timestamps)
         st, infos = self._fused.run_chunk(
             self._fstate, feats_chunk, timestamps, frame_ids)
+        return self._finish_chunk(
+            st, infos, frame_ids, timestamps,
+            lambda: jax.tree.map(lambda x: x[-1], feats_chunk))
+
+    def process_image_chunk(self, images, frame_ids, timestamps):
+        """Track a chunk of RAW IMAGES in one device dispatch: extraction
+        + the fused per-frame step scanned on device (FusedTracker.
+        run_images), then the host-paced keyframe events (loop closing,
+        culling) at the chunk boundary — the FULL production pipeline
+        with one host sync per chunk. Requires self.extractor to be set
+        (an ORBExtractor matching cfg.feat_cap)."""
+        from .fused import FusedTracker
+
+        if self.state != OK:
+            raise RuntimeError("process_image_chunk requires state == OK")
+        ex = getattr(self, "extractor", None)
+        if ex is None:
+            raise RuntimeError("set tracker.extractor first")
+        if self._fused is None or self._fused.extractor is None:
+            self._fused = FusedTracker(self.cam, self.cfg, extractor=ex)
+        if self._fstate is None:
+            self._fstate = self._fused.state_from(self)
+        frame_ids = np.asarray(frame_ids)
+        timestamps = np.asarray(timestamps)
+        st, infos = self._fused.run_images(
+            self._fstate, images, timestamps, frame_ids)
+
+        def last_feats():
+            from ..features import frame as frame_mod
+            img = jnp.asarray(images[-1]).astype(jnp.float32)
+            return frame_mod.undistort(self.cam, ex(img))
+
+        return self._finish_chunk(st, infos, frame_ids, timestamps,
+                                  last_feats)
+
+    def _finish_chunk(self, st, infos, frame_ids, timestamps,
+                      last_feats_fn):
+        """Shared chunk-boundary host logic: trajectory append, LOST
+        hand-off, and per-keyframe events for every keyframe the chunk
+        inserted (see process_chunk docstring)."""
         infos = jax.device_get(infos)
         self._fstate = st
         self.Tcw = st.Tcw
@@ -346,7 +406,9 @@ class Tracker:
         # TrackState.frame_id = last + 1)
         self.frame_id = int(frame_ids[-1]) + 1
         self.n_last_inliers = int(infos["n_inliers"][-1])
-        last_feats = jax.tree.map(lambda x: x[-1], feats_chunk)
+        last_feats = None
+        if not bool(tracked[-1]) or np.asarray(infos["new_kf"]).any():
+            last_feats = last_feats_fn()
         if not bool(tracked[-1]):
             # a lost tracker stays frozen for the rest of the chunk
             # (fused.py gates on state.lost); hand control to the host
@@ -547,6 +609,8 @@ class Tracker:
             store, k1, idx2, slots, okp)
         store = map_store.refresh_point_stats(
             store, jnp.where(okp, slots, -1))
+        # spanning tree root: KF1 hangs off KF0
+        store = map_store.set_parent(store, int(k1), int(k0))
 
         # global BA over the 2-view problem (GlobalBundleAdjustemnt 20 its,
         # src/Tracking.cc:695)
@@ -607,7 +671,7 @@ class Tracker:
         self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap,
                                       fix_scale=self.cfg.sensor != 0,
                                       bf=self.cfg.bf,
-                                      mesh=getattr(self, "mesh", None))
+                                      mesh=self.mesh)
         self._kf_since_retrain = 0
         for k in kf_ids:
             self.loop_closer.add_keyframe_bow(store, k)
@@ -820,11 +884,16 @@ class Tracker:
         nb_ids, _ = local_mapping.top_covisible(
             store, kf_id, cfg.tri_neighbors)
         nb_list = [int(i) for i in np.asarray(nb_ids)]
+        # spanning tree: parent = best covisible keyframe (first
+        # UpdateConnections, src/KeyFrame.cc:289-379)
+        if nb_list and nb_list[0] >= 0:
+            store = map_store.set_parent(store, kf_id, nb_list[0])
         store = local_mapping.create_new_points(
             store, self.cam, kf_id, nb_list, cfg.max_new_points)
-        # SearchInNeighbors (fuse)
+        # SearchInNeighbors (fuse) with second-order extension
         store = local_mapping.search_in_neighbors(
-            store, self.cam, kf_id, nb_list[:cfg.fuse_neighbors])
+            store, self.cam, kf_id, nb_list[:cfg.fuse_neighbors],
+            second_order=cfg.fuse_second_order)
         # Local BA
         if self.n_kf > 2:
             store = local_mapping.local_bundle_adjustment(
@@ -843,23 +912,30 @@ class Tracker:
         loop-closing pass. Mutates self.store / self.loop_closer /
         self.velocity / self.n_kf."""
         store = self.store
-        # KeyFrameCulling — capacity-pressure policy: the redundancy rule
-        # (reference src/LocalMapping.cc:634) exists to bound map size, but
-        # culling early keyframes deletes the LONG-BASELINE observations
-        # that anchor monocular structure (culling an init-era KF re-warps
-        # the map toward the short-baseline subset). So cull only when the
-        # arena is filling: at most ONE per insertion, never the two newest.
-        if self.n_kf > int(0.75 * self.cfg.kf_cap):
+        # KeyFrameCulling — two policies (cfg.kf_culling):
+        # "pressure": the redundancy rule (src/LocalMapping.cc:634) exists
+        # to bound map size, but culling early keyframes deletes the
+        # LONG-BASELINE observations that anchor monocular structure
+        # (culling an init-era KF re-warps the map toward the
+        # short-baseline subset). So cull only when the arena is filling:
+        # at most ONE per insertion, never the two newest.
+        # "reference": the always-on 90%-redundancy rule — every redundant
+        # keyframe goes, every insertion (LocalMapping::KeyFrameCulling
+        # parity, src/LocalMapping.cc:634-720).
+        reference_mode = self.cfg.kf_culling == "reference"
+        if reference_mode or self.n_kf > int(0.75 * self.cfg.kf_cap):
             red = local_mapping.redundant_keyframes(store, kf_id)
             seqs = np.asarray(store.kf_seq)
             newest = np.argsort(seqs)[-2:]
             red_ids = [r for r in np.nonzero(np.asarray(red))[0]
                        if r not in newest]
-            if red_ids:
-                store = map_store.erase_keyframe(store, int(red_ids[0]))
+            if not reference_mode:
+                red_ids = red_ids[:1]
+            for rid in red_ids:
+                store = map_store.erase_keyframe(store, int(rid))
                 if self.loop_closer is not None:
                     self.loop_closer.db = self.loop_closer.db.erase(
-                        int(red_ids[0]))
+                        int(rid))
                 self.n_kf -= 1
 
         # ---- loop closing (LoopClosing::Run body, synchronous) ----
@@ -914,7 +990,7 @@ class Tracker:
             words = vocabulary.assign_words(lc.vocab, feats.desc, feats.valid)
             vec = vocabulary.bow_vector(lc.vocab, words, feats.valid)
             cand_ids, cand_ok = relocalization.detect_candidates(
-                lc.db, self.store, vec, n_cands=C)
+                lc.db, self.store, vec, n_cands=C, query_fn=lc.query_db)
         else:
             # no vocabulary yet (e.g. a freshly loaded map): try the most
             # recent keyframes

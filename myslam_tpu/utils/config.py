@@ -43,6 +43,10 @@ class Settings:
     # startup, src/System.cc:62-76); empty = train from the data seen
     vocab_path: str = ""
     extras: dict = field(default_factory=dict)
+    # opencv-matrix nodes (LEFT.K / LEFT.D / LEFT.R / LEFT.P / RIGHT.*
+    # — the stereo-rectification calibration the reference's
+    # stereo_euroc.cc reads with cv::FileStorage), name -> nested list
+    matrices: dict = field(default_factory=dict)
 
 
 _KEY_MAP = {
@@ -68,12 +72,42 @@ _INT_KEYS = {"rgb", "width", "height", "n_features", "n_levels",
 _STR_KEYS = {"Vocabulary.path": "vocab_path", "Vocabulary.file": "vocab_path"}
 
 
+def _parse_matrices(text: str) -> dict:
+    """Extract `NAME: !!opencv-matrix\\n rows:.. cols:.. data:[..]` nodes
+    (the format cv::FileStorage writes and the reference's stereo
+    examples read for LEFT/RIGHT rectification calibration)."""
+    out = {}
+    pat = re.compile(
+        r"^([\w.]+)\s*:\s*!!opencv-matrix\s*\n"
+        r"(?:\s+\w+:.*\n)*?"
+        r"\s+rows\s*:\s*(\d+)\s*\n"
+        r"\s+cols\s*:\s*(\d+)\s*\n"
+        r"(?:\s+dt\s*:.*\n)?"
+        r"\s+data\s*:\s*\[([^\]]*)\]", re.MULTILINE)
+    for m in pat.finditer(text):
+        name, rows, cols = m.group(1), int(m.group(2)), int(m.group(3))
+        vals = [float(v) for v in
+                m.group(4).replace("\n", " ").split(",") if v.strip()]
+        out[name] = [vals[r * cols:(r + 1) * cols] for r in range(rows)]
+    return out
+
+
 def load_settings(path: str) -> Settings:
-    """Parse an OpenCV-YAML settings file (flat `key: value` pairs)."""
+    """Parse an OpenCV-YAML settings file (flat `key: value` pairs plus
+    opencv-matrix nodes)."""
     s = Settings()
     with open(path) as f:
-        for line in f:
+        text = f.read()
+    s.matrices = _parse_matrices(text)
+    in_matrix = 0
+    for line in text.splitlines():
             line = line.split("#")[0].strip()
+            if line.endswith("!!opencv-matrix"):
+                in_matrix = 5  # skip the node body (rows/cols/dt/data)
+                continue
+            if in_matrix:
+                in_matrix -= 1
+                continue
             m = re.match(r"^([\w.]+)\s*:\s*(.+)$", line)
             if not m:
                 continue

@@ -17,7 +17,14 @@ import pytest
 
 from myslam_tpu.io.synthetic import Rendered3DScene
 
-N_FRAMES = 44  # t_loop=40 -> the orbit closes and revisits its start
+# Realistic motion regime: 3 deg/frame of orbit (t_loop=120, TUM-like
+# angular rates). The old 9 deg/frame setting is a weak-geometry regime
+# (outward-facing wall, near-constant depth) where monocular pose breaks
+# down regardless of implementation; 60 frames cover half the orbit —
+# the full-revisit loop closure runs in bench.py --full and in
+# tests/test_chunk_equivalence.py's ring sequence.
+N_FRAMES = 60
+T_LOOP = 120
 
 
 def _umeyama_ate(est, gt):
@@ -39,7 +46,7 @@ def _umeyama_ate(est, gt):
 def driver_run(tmp_path_factory):
     seq_dir = str(tmp_path_factory.mktemp("seq"))
     out_dir = str(tmp_path_factory.mktemp("out"))
-    scene = Rendered3DScene(width=416, height=320, t_loop=40,
+    scene = Rendered3DScene(width=416, height=320, t_loop=T_LOOP,
                             fx=330.0, fy=330.0, n_points=7000)
     scene.write_tum_sequence(seq_dir, N_FRAMES)
     settings = os.path.join(seq_dir, "settings.yaml")

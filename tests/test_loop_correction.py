@@ -141,6 +141,24 @@ def drifted_world():
 
     store = map_store.refresh_point_stats(
         store, jnp.arange(store.pt_cap), o_max=8)
+    # Realistic per-observation octaves: a real extractor detects a point
+    # at the octave matching its viewing distance, and the matchers'
+    # level gates (MapPoint::PredictScale + ORBmatcher::Fuse's
+    # kpLevel in [pred-1, pred] check) assume that. All-zero levels make
+    # every cross-distance fuse fail its level gate — a fixture artifact,
+    # not a pipeline property.
+    from myslam_tpu.matching import matcher as matcher_mod
+    kf_level = np.asarray(store.kf_level).copy()
+    for k in range(n_kf):
+        obs = np.asarray(store.kf_obs[k])
+        m = obs >= 0
+        pid = np.clip(obs, 0, store.pt_cap - 1)
+        C = np.asarray(se3.camera_center(store.kf_pose[k]))
+        d = np.linalg.norm(np.asarray(store.pt_xyz)[pid] - C[None], axis=1)
+        lvl = np.asarray(matcher_mod.predict_scale(
+            jnp.asarray(d), 1.2 * store.pt_max_dist[pid]))
+        kf_level[k] = np.where(m, lvl, 0)
+    store = store.replace(kf_level=jnp.asarray(kf_level))
     return store, kf_gt, desc
 
 
@@ -191,3 +209,69 @@ class TestLoopPipeline:
         med1, max1 = kf_err(store2)
         assert max1 < 0.6 * max0, (max0, max1)
         assert len(closer.state.loop_edges) == 1
+
+
+class TestSpanningTreeAfterCulling:
+    """VERDICT-round-2 gap: the essential graph must keep its spanning
+    tree valid after keyframe culling re-parents children
+    (KeyFrame::SetBadFlag, src/KeyFrame.cc:453-545; edge harvest
+    src/Optimizer.cc:846-932). Cull a mid-sequence keyframe, then close
+    the loop: correction quality must be unaffected."""
+
+    def test_reparenting_on_erase(self):
+        store = map_store.MapStore.create(kf_cap=8, pt_cap=64, feat_cap=16)
+        from myslam_tpu.features.frame import FrameFeatures as FF
+        feats = FF(xy=jnp.zeros((16, 2)), xy_raw=jnp.zeros((16, 2)),
+                   level=jnp.zeros(16, jnp.int32),
+                   angle=jnp.zeros(16, jnp.float32),
+                   response=jnp.zeros(16, jnp.float32),
+                   desc=jnp.zeros((16, 8), jnp.uint32),
+                   valid=jnp.zeros(16, bool))
+        empty = jnp.full(16, -1, jnp.int32)
+        for k in range(5):
+            store, kid = map_store.add_keyframe(
+                store, se3.identity(), feats, empty, k, float(k))
+            if k > 0:
+                store = map_store.set_parent(store, int(kid), k - 1)
+        # chain 0 <- 1 <- 2 <- 3 <- 4; erase 2 -> 3 re-parents to 1
+        store = map_store.erase_keyframe(store, 2)
+        par = np.asarray(store.kf_parent)
+        assert par[3] == 1
+        assert par[4] == 3
+        assert par[2] == -1
+
+    def test_loop_correction_after_culling(self, drifted_world):
+        store, kf_gt, desc = drifted_world
+        voc = vocabulary.train_vocabulary(
+            jnp.asarray(desc[:2000]), n_words=1024, iters=5)
+        # give the fixture a spanning tree (it predates kf_parent)
+        for k in range(1, 12):
+            store = map_store.set_parent(store, k, k - 1)
+        # cull two mid-sequence keyframes the way the pipeline does
+        store = map_store.erase_keyframe(store, 5)
+        store = map_store.erase_keyframe(store, 6)
+        par = np.asarray(store.kf_parent)
+        assert par[7] == 4  # 7 -> 6 -> 5 -> 4 collapsed onto 4
+
+        def kf_err(st):
+            errs = []
+            for k, T_true in kf_gt.items():
+                if not bool(st.kf_valid[k]):
+                    continue
+                c_est = np.asarray(se3.camera_center(st.kf_pose[k]))
+                c_true = np.asarray(se3.camera_center(T_true))
+                errs.append(np.linalg.norm(c_est - c_true))
+            return np.median(errs), np.max(errs)
+
+        lc = LoopCloser(CAM, voc, kf_cap=store.kf_cap,
+                        cooldown_kfs=0)
+        for k in range(12):
+            if bool(store.kf_valid[k]):
+                lc.add_keyframe_bow(store, k)
+        med0, max0 = kf_err(store)
+        S = lc.compute_sim3(store, 11, 0)
+        assert S is not None
+        store2 = lc.correct(store, CAM, 11, 0, S)
+        med1, max1 = kf_err(store2)
+        # same quality bar as the un-culled pipeline test
+        assert max1 < 0.6 * max0, (max0, max1)

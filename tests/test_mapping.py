@@ -296,3 +296,200 @@ class TestLocalMapping:
             w = gt2[f]
             assert np.allclose(np.asarray(store.pt_xyz[pid]), scene.xyz[w],
                                atol=0.01)
+
+
+class TestSecondOrderFuse:
+    """SearchInNeighbors must extend its fuse targets to second-order
+    covisible keyframes (src/LocalMapping.cc:463-475): a duplicate point
+    visible only from a keyframe two covisibility hops away merges."""
+
+    def _build_chain(self):
+        """KF A(0) -- covisible -- B(1) -- covisible -- C(2); A and C share
+        NO observations. A observes duplicate q1, C observes q2 at the
+        same 3D location with the same descriptor."""
+        rng = np.random.default_rng(11)
+        n = 30
+        xyz_ab = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                           rng.uniform(5, 8, n)], 1).astype(np.float32)
+        xyz_bc = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                           rng.uniform(5, 8, n)], 1).astype(np.float32)
+        xq = np.array([[0.3, -0.2, 6.0]], np.float32)
+        d_ab = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+        d_bc = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+        d_q = rng.integers(0, 2**32, (1, 8), dtype=np.uint32)
+
+        def pose(i):
+            return se3.make(jnp.asarray(rot_y(0.01 * i)),
+                            jnp.asarray(np.array([-0.1 * i, 0, 0],
+                                                 np.float32)))
+
+        def feats_of(xyz, desc):
+            pc = np.asarray(se3.transform(pose_i, jnp.asarray(xyz)))
+            uv = np.stack([400 * pc[:, 0] / pc[:, 2] + 320,
+                           400 * pc[:, 1] / pc[:, 2] + 240], 1)
+            m = len(xyz)
+            xy = np.zeros((F_CAP, 2), np.float32)
+            xy[:m] = uv
+            dd = np.zeros((F_CAP, 8), np.uint32)
+            dd[:m] = desc
+            valid = np.zeros(F_CAP, bool)
+            valid[:m] = True
+            return FrameFeatures(
+                xy=jnp.asarray(xy), xy_raw=jnp.asarray(xy),
+                level=jnp.zeros(F_CAP, jnp.int32),
+                angle=jnp.zeros(F_CAP, jnp.float32),
+                response=jnp.ones(F_CAP, jnp.float32),
+                desc=jnp.asarray(dd), valid=jnp.asarray(valid))
+
+        store = small_store()
+        empty = jnp.full(F_CAP, -1, jnp.int32)
+
+        def alloc_write(store, rows, xyz, desc, ref_kf):
+            m = len(xyz)
+            want = np.zeros(F_CAP, bool)
+            want[rows] = True
+            slots = map_store.allocate_points(store, jnp.asarray(want))
+            x = np.zeros((F_CAP, 3), np.float32)
+            x[rows] = xyz
+            dd = np.zeros((F_CAP, 8), np.uint32)
+            dd[rows] = desc
+            store = map_store.write_points(
+                store, slots, xyz=jnp.asarray(x), desc=jnp.asarray(dd),
+                normal=jnp.zeros((F_CAP, 3)), min_dist=jnp.zeros(F_CAP),
+                max_dist=jnp.ones(F_CAP),
+                ref_kf=jnp.full(F_CAP, ref_kf, jnp.int32),
+                ref_level=jnp.zeros(F_CAP, jnp.int32),
+                first_kf=jnp.zeros(F_CAP, jnp.int32))
+            return store, slots
+
+        # KF A: [q1, xyz_ab]
+        pose_i = pose(0)
+        fa = feats_of(np.concatenate([xq, xyz_ab]),
+                      np.concatenate([d_q, d_ab]))
+        store, kA = map_store.add_keyframe(store, pose(0), fa, empty, 0, 0.0)
+        store, slots_q1 = alloc_write(store, [0], xq, d_q, 0)
+        store, slots_ab = alloc_write(store, list(range(1, 31)), xyz_ab,
+                                      d_ab, 0)
+        aw = jnp.arange(F_CAP)
+        store = map_store.set_observations(store, 0, aw, slots_q1,
+                                           slots_q1 >= 0)
+        store = map_store.set_observations(store, 0, aw, slots_ab,
+                                           slots_ab >= 0)
+
+        # KF B: [xyz_ab, xyz_bc] — shares ab with A, bc with C
+        pose_i = pose(1)
+        fb = feats_of(np.concatenate([xyz_ab, xyz_bc]),
+                      np.concatenate([d_ab, d_bc]))
+        store, kB = map_store.add_keyframe(store, pose(1), fb, empty, 1, 0.1)
+        store, slots_bc = alloc_write(store, list(range(30, 60)), xyz_bc, d_bc, 1)
+        # B row f -> slots_ab at row f+1 of A's slot array
+        ab_for_b = jnp.concatenate(
+            [slots_ab[1:31], jnp.full(F_CAP - 30, -1, jnp.int32)])
+        store = map_store.set_observations(store, 1, aw, ab_for_b,
+                                           ab_for_b >= 0)
+        store = map_store.set_observations(store, 1, aw, slots_bc,
+                                           slots_bc >= 0)
+
+        # KF C: [xyz_bc, q2] — shares bc with B, nothing with A
+        pose_i = pose(2)
+        fc = feats_of(np.concatenate([xyz_bc, xq]),
+                      np.concatenate([d_bc, d_q]))
+        store, kC = map_store.add_keyframe(store, pose(2), fc, empty, 2, 0.2)
+        store, slots_q2 = alloc_write(store, [30], xq, d_q, 2)
+        bc_for_c = jnp.concatenate(
+            [slots_bc[30:60], jnp.full(F_CAP - 30, -1, jnp.int32)])
+        store = map_store.set_observations(store, 2, aw, bc_for_c,
+                                           bc_for_c >= 0)
+        store = map_store.set_observations(store, 2, aw, slots_q2,
+                                           slots_q2 >= 0)
+
+        store = map_store.refresh_point_stats(
+            store, jnp.where(store.pt_valid, jnp.arange(store.pt_cap), -1))
+        # sanity: q1 != q2, A-C share no points
+        q1 = int(store.kf_obs[0, 0])
+        q2 = int(store.kf_obs[2, 30])
+        assert q1 >= 0 and q2 >= 0 and q1 != q2
+        W = np.asarray(map_store.covisibility(store))
+        assert W[0, 1] >= 15 and W[1, 2] >= 15 and W[0, 2] == 0
+        return store
+
+    def test_two_hop_duplicate_merges(self):
+        store = self._build_chain()
+        out = local_mapping.search_in_neighbors(
+            store, CAM, 0, [1], second_order=5)
+        assert int(out.kf_obs[0, 0]) == int(out.kf_obs[2, 30])
+
+    def test_one_hop_only_misses_it(self):
+        store = self._build_chain()
+        out = local_mapping.search_in_neighbors(
+            store, CAM, 0, [1], second_order=0)
+        assert int(out.kf_obs[0, 0]) != int(out.kf_obs[2, 30])
+
+
+class TestKeyframeCullingPolicy:
+    """cfg.kf_culling: "pressure" culls only under arena pressure;
+    "reference" applies LocalMapping::KeyFrameCulling's always-on 90%
+    redundancy rule (src/LocalMapping.cc:634-720) after every insertion."""
+
+    def _redundant_store(self):
+        """5 keyframes all observing the same 40 points at level 0 —
+        every non-protected keyframe is redundant."""
+        from myslam_tpu.features.frame import FrameFeatures as FF
+        store = map_store.MapStore.create(kf_cap=16, pt_cap=128,
+                                          feat_cap=64)
+        rng = np.random.default_rng(2)
+        n = 40
+        feats = FF(xy=jnp.zeros((64, 2)), xy_raw=jnp.zeros((64, 2)),
+                   level=jnp.zeros(64, jnp.int32),
+                   angle=jnp.zeros(64, jnp.float32),
+                   response=jnp.zeros(64, jnp.float32),
+                   desc=jnp.asarray(rng.integers(0, 2**32, (64, 8),
+                                                 dtype=np.uint32)),
+                   valid=jnp.asarray(np.arange(64) < n))
+        empty = jnp.full(64, -1, jnp.int32)
+        store, k0 = map_store.add_keyframe(store, se3.identity(), feats,
+                                           empty, 0, 0.0)
+        want = jnp.asarray(np.arange(64) < n)
+        slots = map_store.allocate_points(store, want)
+        store = map_store.write_points(
+            store, slots,
+            xyz=jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+                            + np.array([0, 0, 6], np.float32)),
+            desc=feats.desc, normal=jnp.zeros((64, 3)),
+            min_dist=jnp.zeros(64), max_dist=jnp.ones(64),
+            ref_kf=jnp.zeros(64, jnp.int32),
+            ref_level=jnp.zeros(64, jnp.int32),
+            first_kf=jnp.zeros(64, jnp.int32))
+        for k in range(5):
+            if k > 0:
+                store, _ = map_store.add_keyframe(
+                    store, se3.identity(), feats, empty, k, float(k))
+            store = map_store.set_observations(
+                store, k, jnp.arange(64), slots, slots >= 0)
+        return store
+
+    def _tracker_with(self, store, mode):
+        from myslam_tpu.slam import tracking as trk
+        cfg = trk.TrackingConfig(kf_cap=16, pt_cap=128, feat_cap=64,
+                                 enable_loop_closing=False,
+                                 kf_culling=mode)
+        tr = trk.Tracker(CAM, cfg)
+        tr.store = store
+        tr.n_kf = 5
+        return tr
+
+    def test_reference_mode_culls_redundant(self):
+        store = self._redundant_store()
+        tr = self._tracker_with(store, "reference")
+        tr._post_keyframe_events(4)
+        # KFs 1 and 2 are redundant and not protected (origin 0 excluded,
+        # the two newest 3/4 excluded)
+        valid = np.asarray(tr.store.kf_valid)
+        assert not valid[1] and not valid[2]
+        assert valid[0] and valid[3] and valid[4]
+
+    def test_pressure_mode_keeps_them_below_pressure(self):
+        store = self._redundant_store()
+        tr = self._tracker_with(store, "pressure")
+        tr._post_keyframe_events(4)
+        assert np.asarray(tr.store.kf_valid)[:5].all()

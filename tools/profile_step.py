@@ -117,6 +117,14 @@ def main():
         return (st2.Tcw, info["n_inliers"])
     timed("full fused step", full_step)
 
+    # same step with the keyframe branch gated OFF (frame gap too small):
+    # the difference is the cost of one keyframe insertion
+    def base_step(c):
+        st2, info = step(state, feats.replace(
+            xy=feats.xy + c * 1e-30), i + 30.0, state.last_kf_frame)
+        return (st2.Tcw, info["n_inliers"])
+    timed("fused step (no-KF gate)", base_step)
+
     # ---- extraction ----
     extract = ex._build()
 
@@ -231,6 +239,32 @@ def main():
             o_max=16)
         return (a.astype(jnp.float32),)
     timed("observation_table (2048 ids)", obs_table)
+
+    def add_kf(c):
+        s2, kid = map_store.add_keyframe(
+            store, se3.retract(state.Tcw, jnp.zeros(6) + c * 1e-30),
+            feats, obs_mm, jnp.int32(99), jnp.float32(3.3))
+        return (s2.kf_pose,)
+    timed("add_keyframe", add_kf)
+
+    def alloc(c):
+        slots = map_store.allocate_points(
+            store, feats.valid & (obs_mm < 0 + (c * 1e-30).astype(jnp.int32)))
+        return (slots.astype(jnp.float32),)
+    timed("allocate_points", alloc)
+
+    def med_depth(c):
+        m = local_mapping.scene_median_depth(
+            store, state.ref_kf + (c * 1e-30).astype(jnp.int32))
+        return (m,)
+    timed("scene_median_depth", med_depth)
+
+    def topcov(c):
+        ids, w = local_mapping.top_covisible(
+            store, state.ref_kf + (c * 1e-30).astype(jnp.int32),
+            cfg.tri_neighbors)
+        return (w.astype(jnp.float32),)
+    timed("top_covisible", topcov)
 
     def build_ba(c):
         prob, ks, ps, ef, es = local_mapping.build_local_ba(
