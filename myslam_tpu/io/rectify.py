@@ -75,8 +75,10 @@ def remap_bilinear(img, map_x, map_y):
     fy = map_y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    inb = ((map_x >= 0) & (map_x <= W - 1.001)
-           & (map_y >= 0) & (map_y <= H - 1.001))
+    # x == W-1 / y == H-1 are valid samples (cv::remap treats the last
+    # pixel as in-bounds); the clamped x0c/y0c below keep the gather safe
+    inb = ((map_x >= 0) & (map_x <= W - 1)
+           & (map_y >= 0) & (map_y <= H - 1))
     x0c = jnp.clip(x0i, 0, W - 2)
     y0c = jnp.clip(y0i, 0, H - 2)
     i00 = img[y0c, x0c]

@@ -41,6 +41,12 @@ from .tracking import (OK, LOST, TrackingConfig,
                        _motion_model_match, _pose_optimize,
                        _reference_kf_match)
 
+# diagnostic: emit the keyframe-decision internals (c1a/c2/geo_t/geo_r
+# and their scalar inputs) in the per-frame info dict. Costs one
+# unconditional metric evaluation per frame — for tools/kf_rate.py only.
+import os as _os
+_DEBUG_KF = _os.environ.get("MYSLAM_DEBUG_KF", "") == "1"
+
 
 @struct.dataclass
 class TrackState:
@@ -332,8 +338,17 @@ class FusedTracker:
                 w2, ids2 = jax.lax.top_k(rows2, cfg.fuse_second_order)
                 ids2 = jnp.where((w2 > 0) & (fuse_first >= 0)[:, None],
                                  ids2, -1)
-                fuse_targets = jnp.concatenate(
-                    [fuse_first, ids2.reshape(-1)])
+                flat2 = ids2.reshape(-1)
+                # dedup: the same keyframe reachable from two first-order
+                # neighbors would be fused twice (the reference dedups
+                # via a set, src/LocalMapping.cc:463-475) — mask repeats
+                # so the scan skips them
+                oh2 = (indexing.onehot(flat2, K)
+                       * (flat2 >= 0)[:, None].astype(jnp.float32))
+                seen_before = (jnp.cumsum(oh2, axis=0) - oh2)  # [n, K]
+                dup = jnp.sum(seen_before * oh2, axis=1) > 0
+                flat2 = jnp.where(dup, -1, flat2)
+                fuse_targets = jnp.concatenate([fuse_first, flat2])
             else:
                 fuse_targets = fuse_first
             store, _ = jax.lax.scan(fuse_body, store, fuse_targets)
@@ -443,7 +458,7 @@ class FusedTracker:
             pre_ok = (tracked & cap_ok & gap_ok & (n_in > 15)
                       & ~state.frozen)
 
-            def kf_metrics(_):
+            def kf_metrics_aux(_):
                 # only points with >= 3 observations count
                 # (KeyFrame::TrackedMapPoints(3), src/Tracking.cc:1002-1006)
                 ref_obs = store.kf_obs[state.ref_kf]
@@ -479,12 +494,23 @@ class FusedTracker:
                         (close & (cur_obs < 0)).astype(jnp.int32))
                     need = need | ((tracked_close < 100)
                                    & (untracked_close > 70))
-                return need
+                aux = {"c1a": c1a, "c2": c2, "geo_t": geo_t,
+                       "geo_r": geo_r, "ref_tracked": ref_tracked,
+                       "base": base, "med": med, "ang": ang}
+                return need, aux
+
+            def kf_metrics(_):
+                return kf_metrics_aux(None)[0]
 
             # metric computation (obs counts, median depth) skipped
             # entirely when capacity/gap gates already say no
-            need_kf = jax.lax.cond(
-                pre_ok, kf_metrics, lambda _: jnp.asarray(False), None)
+            if _DEBUG_KF:
+                need_raw, dbg_aux = kf_metrics_aux(None)
+                need_kf = pre_ok & need_raw
+            else:
+                dbg_aux = None
+                need_kf = jax.lax.cond(
+                    pre_ok, kf_metrics, lambda _: jnp.asarray(False), None)
 
             store2, kf_id, B2, W2 = jax.lax.cond(
                 need_kf, insert_keyframe,
@@ -527,6 +553,8 @@ class FusedTracker:
                     # none) so chunked mode can run per-keyframe host
                     # events for every insertion, not just the last
                     "kf_id": jnp.where(need_kf, kf_id, -1)}
+            if dbg_aux is not None:
+                info.update(dbg_aux)
             return new_state, info
 
         return step

@@ -465,7 +465,10 @@ class LoopCloser:
             o = np.asarray(store.kf_obs[g])
             loop_mask[o[o >= 0]] = True
         loop_ids_np = np.nonzero(loop_mask)[0]
-        cap = 8192
+        # sized to the arena so no loop point is silently dropped (the
+        # cross-loop merges anchor the GBA; a truncated set would shrink
+        # coverage exactly on the large maps that need it most)
+        cap = int(store.pt_cap)
         pad = np.full(max(0, cap - len(loop_ids_np)), -1, np.int64)
         loop_ids = jnp.asarray(
             np.concatenate([loop_ids_np[:cap], pad]).astype(np.int32))

@@ -72,11 +72,17 @@ _INT_KEYS = {"rgb", "width", "height", "n_features", "n_levels",
 _STR_KEYS = {"Vocabulary.path": "vocab_path", "Vocabulary.file": "vocab_path"}
 
 
-def _parse_matrices(text: str) -> dict:
+def _parse_matrices(text: str):
     """Extract `NAME: !!opencv-matrix\\n rows:.. cols:.. data:[..]` nodes
     (the format cv::FileStorage writes and the reference's stereo
-    examples read for LEFT/RIGHT rectification calibration)."""
+    examples read for LEFT/RIGHT rectification calibration).
+
+    Returns (matrices, spans): spans are the exact (start, end) character
+    ranges of the matched nodes, so the flat key-value pass can blank them
+    out instead of guessing how many lines a node body occupies (bodies
+    vary: dt is optional, data arrays wrap across lines)."""
     out = {}
+    spans = []
     pat = re.compile(
         r"^([\w.]+)\s*:\s*!!opencv-matrix\s*\n"
         r"(?:\s+\w+:.*\n)*?"
@@ -89,7 +95,8 @@ def _parse_matrices(text: str) -> dict:
         vals = [float(v) for v in
                 m.group(4).replace("\n", " ").split(",") if v.strip()]
         out[name] = [vals[r * cols:(r + 1) * cols] for r in range(rows)]
-    return out
+        spans.append(m.span())
+    return out, spans
 
 
 def load_settings(path: str) -> Settings:
@@ -98,16 +105,17 @@ def load_settings(path: str) -> Settings:
     s = Settings()
     with open(path) as f:
         text = f.read()
-    s.matrices = _parse_matrices(text)
-    in_matrix = 0
+    s.matrices, spans = _parse_matrices(text)
+    # blank the matrix-node spans (preserving newlines) so the flat pass
+    # below cannot mis-consume the line after a node body
+    chars = list(text)
+    for a, b in spans:
+        for i in range(a, b):
+            if chars[i] != "\n":
+                chars[i] = " "
+    text = "".join(chars)
     for line in text.splitlines():
             line = line.split("#")[0].strip()
-            if line.endswith("!!opencv-matrix"):
-                in_matrix = 5  # skip the node body (rows/cols/dt/data)
-                continue
-            if in_matrix:
-                in_matrix -= 1
-                continue
             m = re.match(r"^([\w.]+)\s*:\s*(.+)$", line)
             if not m:
                 continue
