@@ -82,8 +82,11 @@ def main_full():
     cam = Camera.create(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
                         width=640, height=480)
     ex = ORBExtractor(480, 640, n_features=2000)
+    # kf_cap 128: a 192-frame 360-degree orbit needs ~60-90 keyframes of
+    # coverage; 64 saturated the arena mid-orbit (insertion starved, map
+    # froze, tracking lost before the revisit)
     cfg = tracking.TrackingConfig(
-        kf_cap=64, pt_cap=16384, feat_cap=ex.capacity,
+        kf_cap=128, pt_cap=16384, feat_cap=ex.capacity,
         local_kf=8, local_pts=4096,
         ba_free=8, ba_fixed=8, ba_pts=4096, ba_obs=8,
         tri_neighbors=4, max_new_points=512,
@@ -143,7 +146,7 @@ def main_full():
     fps = n_frames_timed / total
 
     est, gt = [], []
-    for fid, _, Tcw in tr.trajectory:
+    for fid, _, Tcw in tr.corrected_trajectory():
         est.append(np.asarray(se3.camera_center(jnp.asarray(Tcw))))
         gt.append(scene.gt_center(int(fid)))
     ate = _umeyama_ate(np.stack(est), np.stack(gt))

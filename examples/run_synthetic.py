@@ -57,18 +57,22 @@ def main():
         n_tracked += int(ok)
 
     gt = {i: seq.gt_center(i) for i in range(n_frames)}
-    rmse, n_eval = trajectory.ate_rmse(tr.trajectory, gt)
+    rmse, n_eval = trajectory.ate_rmse(tr.corrected_trajectory(), gt)
     times_steady = sorted(times[len(times) // 2:])
     med = times_steady[len(times_steady) // 2]
 
-    trajectory.save_tum("Trajectory_synthetic.txt", tr.trajectory)
+    trajectory.save_tum("Trajectory_synthetic.txt",
+                    tr.corrected_trajectory())
     print(f"frames tracked:     {n_tracked}/{n_frames}")
     print(f"keyframes:          {tr.n_kf}")
     print(f"map points:         {int(tr.store.pt_valid.sum())}")
     print(f"median frame time:  {med*1000:.1f} ms")
     print(f"ATE RMSE:           {rmse*100:.2f} cm over {n_eval} frames")
     print("trajectory saved to Trajectory_synthetic.txt")
-    bound = 0.12
+    # measured 0.17-1.21 cm across culling policies (BASELINE.md);
+    # 3 cm = measured x ~2 headroom, vs the old 12 cm cushion that
+    # masked regressions (round-3 verdict, weak #5)
+    bound = 0.03
     assert rmse < bound, f"ATE {rmse} exceeds bound {bound}"
     print(f"PASS (ATE < {bound*100:.0f} cm)")
 

@@ -22,3 +22,19 @@ Layout (mirrors SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Matmul precision: the TPU MXU's DEFAULT precision truncates f32
+# operands to bf16 (measured |err| ~0.16 on a unit-scale 256-dot).
+# "high" (3-pass bf16 decomposition, ~2^-21 relative) is the package
+# default: measured on the tracking pipeline it recovers the same
+# inlier counts as 6-pass "highest" (~1130 vs bf16's ~870) at ~15%
+# more chunk time than bf16 (tools/kf_rate.py A/Bs, round 4).
+# Deliberately low-precision paths (YOLO convs) pass explicit bf16
+# inputs and are unaffected by this default.
+import os as _os
+
+import jax as _jax
+
+if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision", "high")
+# (kf_rate.py A/Bs; set JAX_DEFAULT_MATMUL_PRECISION to experiment)

@@ -19,6 +19,7 @@ from ..features.frame import FrameFeatures
 from ..geom import se3, triangulation
 from ..geom.projection import Camera
 from ..matching import matcher
+from ..ops import indexing
 from ..optim import ba
 from . import map_store
 from .map_store import NO_POINT, MapStore
@@ -222,6 +223,13 @@ def fuse_into_keyframe(store: MapStore, cam: Camera, kf_id, pt_ids, pt_ok,
     feats = kf_features(store, kf_id)
     pid_c = jnp.clip(pt_ids, 0, store.pt_cap - 1)
     valid = pt_ok & (pt_ids >= 0) & store.pt_valid[pid_c]
+    # skip candidates this keyframe already observes (the reference's
+    # pMP->IsInKeyFrame(pKF) skip in ORBmatcher::Fuse) — matching such a
+    # point onto a second feature would duplicate it within the row
+    row = store.kf_obs[kf_id]
+    member = indexing.bincount_mm(jnp.where(row >= 0, row, -1),
+                                  store.pt_cap) > 0
+    valid = valid & ~member[pid_c]
     idx, ok, _ = matcher.search_by_projection_map(
         cam, store.kf_pose[kf_id], feats,
         store.pt_xyz[pid_c], store.pt_desc[pid_c], store.pt_normal[pid_c],

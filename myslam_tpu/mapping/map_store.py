@@ -327,11 +327,17 @@ def observation_table(store: MapStore, pt_ids, o_max: int = 16):
     f1 = jnp.arange(F, dtype=jnp.float32) + 1.0
     w_hi = jnp.floor(f1 / 64.0).astype(jnp.bfloat16)[None, :, None]
     w_lo = jnp.mod(f1, 64.0).astype(jnp.bfloat16)[None, :, None]
+    one = jnp.ones_like(w_hi)
     S = jnp.stack([
         jnp.einsum("kfh,kfl->khl", oh_hi * w, oh_lo,
                    preferred_element_type=jnp.float32)
-        for w in (w_hi, w_lo)
-    ])                                                   # [2, K, H, L]
+        for w in (w_hi, w_lo, one)
+    ])                                                   # [3, K, H, L]
+    # S[2] counts occurrences: the f+1 encode is only valid for cells
+    # holding exactly ONE observation. replace_points enforces that
+    # invariant; this guard keeps a duplicate row (should one ever slip
+    # through) from decoding to a garbage feature index instead of a
+    # clean miss.
     pt_safe = jnp.where(pt_ids >= 0, pt_ids, 0)
     p_hi = pt_safe // L
     p_lo = pt_safe - p_hi * L
@@ -339,10 +345,12 @@ def observation_table(store: MapStore, pt_ids, o_max: int = 16):
     ohp_lo = (p_lo[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
     ohp_hi = ohp_hi * (pt_ids >= 0).astype(jnp.float32)[:, None]
     D = jnp.einsum("skhl,mh->skml", S, ohp_hi,
-                   preferred_element_type=jnp.float32)   # [2, K, M, L]
+                   preferred_element_type=jnp.float32)   # [3, K, M, L]
     fd = jnp.einsum("skml,ml->skm", D, ohp_lo,
-                    preferred_element_type=jnp.float32)  # [2, K, M]
+                    preferred_element_type=jnp.float32)  # [3, K, M]
     feat_of = jnp.round(64.0 * fd[0] + fd[1]).astype(jnp.int32) - 1
+    feat_of = jnp.where(jnp.round(fd[2]).astype(jnp.int32) == 1,
+                        feat_of, -1)
     observed = (feat_of >= 0).astype(jnp.float32)  # [K, M]
     _, kf_sel = jax.lax.top_k(observed.T, min(o_max, K))  # [M, o]
     obs_ok = jnp.take_along_axis(observed.T, kf_sel, axis=1) > 0
@@ -458,15 +466,56 @@ def erase_keyframe(store: MapStore, kf_id):
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("P",))
+def _row_counts(rows, P: int):
+    """[K, P] f32 occurrence counts of ids in each row ([K, F] i32, -1 =
+    empty) — the factored hi/lo one-hot contraction of _obs_counts_per_kf
+    for arbitrary row tables."""
+    K, F = rows.shape
+    H = 1 << max(1, (P - 1).bit_length() + 1 >> 1)
+    L = -(-P // H)
+    ok = rows >= 0
+    idx = jnp.where(ok, rows, 0)
+    hi = idx // L
+    lo = idx - hi * L
+    oh_hi = (hi[..., None] == jnp.arange(H)[None, None, :]) & ok[..., None]
+    oh_lo = lo[..., None] == jnp.arange(L)[None, None, :]
+    cnt = jnp.einsum("kfh,kfl->khl",
+                     oh_hi.astype(jnp.bfloat16),
+                     oh_lo.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return cnt.reshape(K, H * L)[:, :P]
+
+
 def replace_points(store: MapStore, old_to_new):
     """Merge points: every observation of point i is redirected to
     old_to_new[i] (identity where no merge). Array form of
     MapPoint::Replace (src/MapPoint.cc:177-215). Redirected points are
-    invalidated; found/visible counters are accumulated onto the target."""
+    invalidated; found/visible counters are accumulated onto the target.
+
+    Duplicate guard (MapPoint::Replace parity): when a keyframe already
+    observes the merge TARGET, the redirected observation is ERASED
+    instead of redirected (the reference's IsInKeyFrame branch,
+    src/MapPoint.cc:196-199) — a point must appear at most once per
+    keyframe row. Without this, every merge where a row held both points
+    left a duplicate, and duplicate rows silently corrupt every
+    downstream per-(kf,point) structure (observation_table's factored
+    encode sums feature ids over duplicates into garbage indices — the
+    round-2/3 tracking-quality regression). If several redirected entries
+    in one row share a target and the row has no direct entry, all are
+    conservatively erased (the reference's sequential Replace keeps one;
+    the lost observation is re-added by the next fuse pass)."""
     obs = store.kf_obs
+    P = store.pt_cap
     mapped = jnp.where(obs >= 0,
-                       old_to_new[jnp.clip(obs, 0, store.pt_cap - 1)], obs)
+                       old_to_new[jnp.clip(obs, 0, P - 1)], obs)
+    changed = (mapped != obs) & (obs >= 0)
+    direct = _row_counts(jnp.where(changed, -1, obs), P)      # [K, P]
+    cnt_changed = _row_counts(jnp.where(changed, mapped, -1), P)
+    bad_cell = (direct > 0) | (cnt_changed > 1)               # [K, P]
+    bad_at = jnp.take_along_axis(
+        bad_cell, jnp.clip(mapped, 0, P - 1), axis=1)
+    mapped = jnp.where(changed & bad_at, NO_POINT, mapped)
     merged = old_to_new != jnp.arange(store.pt_cap)
     add_v = jnp.zeros(store.pt_cap, jnp.int32).at[
         jnp.where(merged, old_to_new, store.pt_cap)].add(

@@ -135,8 +135,6 @@ def _edge_terms(cam, prob: BAProblem, use_huber: bool, o_group: int = 0):
 
 
 def _robust_cost(cam, prob: BAProblem, use_huber: bool, o_group: int = 0):
-    if o_group:
-        return _structured_cost(cam, prob, use_huber, o_group)
     e, _, _, z = _edge_residuals(cam, prob, want_point=False,
                                  o_group=o_group)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
@@ -150,235 +148,6 @@ def _robust_cost(cam, prob: BAProblem, use_huber: bool, o_group: int = 0):
     else:
         rho = chi2
     return jnp.sum(jnp.where(prob.edge_valid, rho, 0.0))
-
-
-# ---------------------------------------------------------------------------
-# Component-major structured kernels
-#
-# The xplane profile of the LM loop showed [E,2,6]/[E,3,3]-shaped per-edge
-# tensors dominating each iteration: their tiny minor dims (2x6, 3x3) pad to
-# full (8,128) TPU tiles (20-40x wasted bandwidth) and the batch-of-tiny-
-# matmul einsums lower to layout-copy + convolution chains. The structured
-# point-major path below keeps every per-edge quantity as an [E] f32 vector
-# (perfectly tiled), assembles all per-edge Hessian/gradient entries in ONE
-# fused elementwise pass producing a flat [E, C] panel, and reduces it with
-# two well-shaped contractions: a fat [K,E]@[E,C] matmul for pose blocks and
-# a [P,O,C] minor-axis sum for landmark blocks.
-# ---------------------------------------------------------------------------
-
-
-def _structured_rows(cam, prob: BAProblem, o_group: int):
-    """Per-edge scalar components for the structured point-major layout.
-
-    Returns (rows, z) where each row is a dict of [E] f32 vectors:
-      r:  residual,  Jp: list of 6 pose-Jacobian columns,
-      Jl: list of 3 landmark-Jacobian columns.
-    Row sparsity is expressed with Python-level 0.0 literals so XLA
-    constant-folds the dead products away.
-    """
-    K = prob.kf_pose.shape[0]
-    P = prob.pt_xyz.shape[0]
-    T12 = indexing.mm_gather(prob.kf_pose.reshape(K, 12), prob.edge_kf)
-    X = jnp.broadcast_to(
-        prob.pt_xyz[:, None, :], (P, o_group, 3)).reshape(-1, 3)
-    r00, r01, r02, t0 = T12[:, 0], T12[:, 1], T12[:, 2], T12[:, 3]
-    r10, r11, r12, t1 = T12[:, 4], T12[:, 5], T12[:, 6], T12[:, 7]
-    r20, r21, r22, t2 = T12[:, 8], T12[:, 9], T12[:, 10], T12[:, 11]
-    X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
-    px = r00 * X0 + r01 * X1 + r02 * X2 + t0
-    py = r10 * X0 + r11 * X1 + r12 * X2 + t1
-    pz = r20 * X0 + r21 * X1 + r22 * X2 + t2
-    # z floor 1e-3 (not 1e-9): padded/unmatched edges can sit at the camera
-    # plane, and fx/z at z=1e-9 squares to inf in f32 — inf * (zero weight)
-    # is NaN and freezes LM. Edges this close are always outliers (masked
-    # by edge_valid / the chi2 gates), so the gradient distortion is moot.
-    z = jnp.where(jnp.abs(pz) < 1e-3, 1e-3, pz)
-    inv_z = 1.0 / z
-    inv_z2 = inv_z * inv_z
-    u = cam.fx * px * inv_z + cam.cx
-    v = cam.fy * py * inv_z + cam.cy
-    a = cam.fx * inv_z
-    b = cam.fy * inv_z
-    c = -cam.fx * px * inv_z2
-    d = -cam.fy * py * inv_z2
-
-    def row(A0, A1, A2, res):
-        # Jp = [A @ hat(p) | -A] (left-mult tangent), Jl = -(A @ R) — the
-        # same linearization as residuals.pose_point_jacobians, expanded to
-        # scalar columns.
-        return dict(
-            r=res,
-            Jp=[A1 * pz - A2 * py,
-                A2 * px - A0 * pz,
-                A0 * py - A1 * px,
-                -A0, -A1, -A2],
-            Jl=[-(A0 * r00 + A1 * r10 + A2 * r20),
-                -(A0 * r01 + A1 * r11 + A2 * r21),
-                -(A0 * r02 + A1 * r12 + A2 * r22)],
-        )
-
-    rows = [row(a, 0.0, c, prob.edge_uv[:, 0] - u),
-            row(0.0, b, d, prob.edge_uv[:, 1] - v)]
-    if prob.edge_ur is not None:
-        # virtual right column u_r = u - bf/z (g2o EdgeStereoSE3ProjectXYZ);
-        # the row is masked out for monocular edges.
-        g = c + prob.bf * inv_z2
-        ur = u - prob.bf * inv_z
-        r3 = row(a, 0.0, g, jnp.maximum(prob.edge_ur, 0.0) - ur)
-        m = (prob.edge_ur >= 0).astype(jnp.float32)
-        r3 = dict(r=r3["r"] * m, Jp=[j * m for j in r3["Jp"]],
-                  Jl=[j * m for j in r3["Jl"]])
-        rows.append(r3)
-    return rows, pz
-
-
-def _structured_chi2_w(prob: BAProblem, rows, use_huber: bool):
-    chi2 = prob.edge_inv_sigma2 * sum(r["r"] * r["r"] for r in rows)
-    w = prob.edge_inv_sigma2
-    if use_huber:
-        w = w * huber_weight(chi2, _chi2_gate(prob))
-    w = jnp.where(prob.edge_valid, w, 0.0)
-    return chi2, w
-
-
-def _structured_cost(cam, prob: BAProblem, use_huber: bool, o_group: int):
-    """Total robust cost, component form (one fused pass + one reduce)."""
-    rows, _ = _structured_rows(cam, prob, o_group)
-    chi2 = prob.edge_inv_sigma2 * sum(r["r"] * r["r"] for r in rows)
-    if use_huber:
-        gate = _chi2_gate(prob)
-        rho = jnp.where(
-            chi2 <= gate, chi2,
-            2.0 * jnp.sqrt(gate * jnp.maximum(chi2, 1e-12)) - gate)
-    else:
-        rho = chi2
-    return jnp.sum(jnp.where(prob.edge_valid, rho, 0.0))
-
-
-def _inv3x3_cols(H, lam):
-    """Damped closed-form inverse of [P] batched symmetric 3x3 blocks given
-    as 9 component columns (i*3+j). Returns 9 inverse columns."""
-    dxx = H[0] + lam * H[0] + 1e-8
-    dyy = H[4] + lam * H[4] + 1e-8
-    dzz = H[8] + lam * H[8] + 1e-8
-    xy, xz, yz = H[1], H[2], H[5]
-    A = dyy * dzz - yz * yz
-    B = xz * yz - xy * dzz
-    C = xy * yz - xz * dyy
-    det = dxx * A + xy * B + xz * C
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    ixx = A * inv_det
-    ixy = B * inv_det
-    ixz = C * inv_det
-    iyy = (dxx * dzz - xz * xz) * inv_det
-    iyz = (xy * xz - dxx * yz) * inv_det
-    izz = (dxx * dyy - xy * xy) * inv_det
-    return [ixx, ixy, ixz, ixy, iyy, iyz, ixz, iyz, izz]
-
-
-def _solve_one_lm_step_structured(cam, prob: BAProblem, lam,
-                                  use_huber: bool, O: int):
-    """Component-major build-and-solve of the damped Schur system."""
-    K = prob.kf_pose.shape[0]
-    P = prob.pt_xyz.shape[0]
-    rows, _ = _structured_rows(cam, prob, O)
-    chi2, w = _structured_chi2_w(prob, rows, use_huber)
-
-    # one fused elementwise panel: [54, E] = Hpp(36) | bp(6) | Hll(9) | bl(3)
-    # — component-major (axis 0) so each stacked column is a contiguous
-    # tile-aligned [E] block (a minor-axis stack lowers to an 18-way
-    # tiny-chunk concatenate costing ~0.3 ms/iter, measured)
-    # weight folded into the FIRST factor: w is zero for invalid edges
-    # whose other factor can be huge, and 0 * huge must stay 0, not NaN
-    wJp = [[w * j for j in r["Jp"]] for r in rows]
-    wJl = [[w * j for j in r["Jl"]] for r in rows]
-    cols = []
-    for ai in range(6):
-        for bi in range(6):
-            cols.append(sum(wj[ai] * r["Jp"][bi]
-                            for wj, r in zip(wJp, rows)))
-    for ai in range(6):
-        cols.append(-sum(wj[ai] * r["r"] for wj, r in zip(wJp, rows)))
-    for i in range(3):
-        for j in range(3):
-            cols.append(sum(wj[i] * r["Jl"][j]
-                            for wj, r in zip(wJl, rows)))
-    for i in range(3):
-        cols.append(-sum(wj[i] * r["r"] for wj, r in zip(wJl, rows)))
-    comp = jnp.stack(cols, axis=0)                      # [54, E]
-
-    onek = indexing.onehot(prob.edge_kf, K)             # [E, K]
-    pose_part = jnp.einsum("ce,ek->ck", comp[:42], onek,
-                           preferred_element_type=jnp.float32)  # [42, K]
-    Hpp = pose_part[:36].reshape(6, 6, K).transpose(2, 0, 1)
-    bp = pose_part[36:42].T                              # [K, 6]
-
-    pt_part = comp[42:].reshape(12, P, O).sum(-1)        # [12, P]
-    Hll_c = [pt_part[i] for i in range(9)]
-    bl_c = [pt_part[9 + i] for i in range(3)]            # 3 x [P]
-    Hinv = _inv3x3_cols(Hll_c, lam)                      # 9 x [P]
-
-    # A_i [96, P]: per-edge Hpl columns (flat [E,18] panel, i-major) folded
-    # onto (pose, landmark) blocks by ONE batched contraction over the O
-    # axis. (A broadcast [E,K,6] + reshape + reduce formulation materializes
-    # a transposed layout and costs ~2.2 ms/iter — measured; this einsum
-    # lowers to a clean batched matmul at ~0.15 ms.)
-    Hpl_panel = jnp.stack(
-        [sum(wj[ai] * r["Jl"][i] for wj, r in zip(wJp, rows))
-         for i in range(3) for ai in range(6)], axis=0)   # [18, E]
-    A_kcp = jnp.einsum("cpo,pok->kcp",
-                       Hpl_panel.reshape(18, P, O),
-                       onek.reshape(P, O, K),
-                       preferred_element_type=jnp.float32)  # [K, 18, P]
-    A_T = [A_kcp[:, 6 * i:6 * (i + 1), :].reshape(K * 6, P)
-           for i in range(3)]                               # 3 x [96, P]
-
-    # reduced system S = Hpp_d(block diag) - sum_ij A_i Hinv_ij A_j^T
-    def hin(i, j):
-        return Hinv[i * 3 + j]
-
-    S_red = jnp.zeros((K * 6, K * 6))
-    for i in range(3):
-        S_red = S_red + jnp.einsum(
-            "ap,bp->ab", A_T[i] * hin(i, i)[None, :], A_T[i],
-            preferred_element_type=jnp.float32)
-        for j in range(i + 1, 3):
-            M = jnp.einsum("ap,bp->ab", A_T[i] * hin(i, j)[None, :], A_T[j],
-                           preferred_element_type=jnp.float32)
-            S_red = S_red + M + M.T
-
-    eyeK = jnp.eye(6, dtype=Hpp.dtype)
-    Hpp_d = Hpp + lam * (Hpp * eyeK) + 1e-8 * eyeK
-    S = (-S_red).reshape(K, 6, K, 6)
-    S = S + jnp.eye(K)[:, None, :, None] * Hpp_d[:, :, None, :]
-
-    # clamp fixed poses: identity rows/cols, zero rhs
-    free = (~prob.kf_fixed).astype(S.dtype)
-    S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + (jnp.eye(K) * prob.kf_fixed.astype(S.dtype)
-             )[:, None, :, None] * eyeK[None, :, None, :]
-
-    # rhs: b_red = bp - A Hinv bl
-    u_j = [sum(hin(j, i) * bl_c[i] for i in range(3)) for j in range(3)]
-    b_corr = sum(jnp.einsum("ap,p->a", A_T[j], u_j[j],
-                            preferred_element_type=jnp.float32)
-                 for j in range(3))
-    b_red = bp.reshape(K * 6) - b_corr
-    b_red = (b_red.reshape(K, 6) * free[:, None]).reshape(K * 6)
-
-    S_mat = S.reshape(K * 6, K * 6)
-    dpose = jnp.linalg.solve(
-        S_mat + 1e-8 * jnp.eye(K * 6, dtype=S.dtype), b_red).reshape(K, 6)
-
-    # back-substitute landmarks: dl = Hinv (bl - A^T dpose)
-    dpf = dpose.reshape(K * 6)
-    v_j = [bl_c[j] - jnp.einsum("ap,a->p", A_T[j], dpf,
-                                preferred_element_type=jnp.float32)
-           for j in range(3)]
-    dpt = jnp.stack(
-        [sum(hin(i, j) * v_j[j] for j in range(3)) for i in range(3)],
-        axis=-1)
-    return dpose, dpt
 
 
 def _inv3x3(M):
@@ -407,9 +176,6 @@ def _inv3x3(M):
 def _solve_one_lm_step(cam, prob: BAProblem, lam, use_huber: bool,
                        o_group: int = 0):
     """Build and solve the damped Schur system; return (dpose [K,6], dpt [P,3])."""
-    if o_group:
-        return _solve_one_lm_step_structured(cam, prob, lam, use_huber,
-                                             o_group)
     K = prob.kf_pose.shape[0]
     P = prob.pt_xyz.shape[0]
     e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob, use_huber, o_group)
@@ -504,43 +270,7 @@ def refine_points_only(cam: Camera, prob: BAProblem, iters: int = 3,
             return vals.reshape((P, o_group) + vals.shape[1:]).sum(1)
         return jnp.zeros(shape).at[pt_idx].add(vals)
 
-    def step_structured(prob_c, _):
-        # component-major (see _solve_one_lm_step_structured): one fused
-        # [E, 13] panel, one [P, O, 13] minor-axis sum, closed-form 3x3
-        # solves on [P] component columns.
-        rows, _ = _structured_rows(cam, prob_c, o_group)
-        chi2, w = _structured_chi2_w(prob_c, rows, use_huber)
-        # w folded into the first factor (0 * huge stays 0, not NaN)
-        wJl = [[w * j for j in r["Jl"]] for r in rows]
-        cols = []
-        for i in range(3):
-            for j in range(3):
-                cols.append(sum(wj[i] * r["Jl"][j]
-                                for wj, r in zip(wJl, rows)))
-        for i in range(3):
-            cols.append(-sum(wj[i] * r["r"] for wj, r in zip(wJl, rows)))
-        cols.append(jnp.where(prob_c.edge_valid, chi2, 0.0))
-        comp = jnp.stack(cols, axis=0)                  # [13, E]
-        pt = comp.reshape(13, P, o_group).sum(-1)       # [13, P]
-        Hinv = _inv3x3_cols([pt[i] for i in range(9)], 0.0)
-        bl = [pt[9 + j] for j in range(3)]
-        dpt = jnp.stack(
-            [sum(Hinv[i * 3 + j] * bl[j] for j in range(3))
-             for i in range(3)], axis=-1)
-        cand = prob_c._replace(pt_xyz=prob_c.pt_xyz + dpt)
-        # accept per point: compare per-point chi2 sums
-        c_new, z_new = edge_chi2_depth(cam, cand, o_group)
-        old_p = pt[12]
-        new_p = (jnp.where(prob_c.edge_valid,
-                           jnp.where(z_new > 0, c_new, 1e12), 0.0)
-                 .reshape(P, o_group).sum(1))
-        take = (new_p < old_p)[:, None]
-        return prob_c._replace(
-            pt_xyz=jnp.where(take, cand.pt_xyz, prob_c.pt_xyz)), None
-
     def step(prob_c, _):
-        if o_group:
-            return step_structured(prob_c, _)
         e, Jp, Jl, z, chi2, w = _edge_terms(cam, prob_c, use_huber, o_group)
         wJl = Jl * w[:, None, None]
         Hll = psum(jnp.einsum("nij,nik->njk", wJl, Jl),
@@ -593,10 +323,6 @@ def run_lm(cam: Camera, prob: BAProblem, iters: int, use_huber: bool = True,
 
 def edge_chi2_depth(cam: Camera, prob: BAProblem, o_group: int = 0):
     """Per-edge chi2 and camera-frame depth at the current estimate."""
-    if o_group:
-        rows, z = _structured_rows(cam, prob, o_group)
-        chi2 = prob.edge_inv_sigma2 * sum(r["r"] * r["r"] for r in rows)
-        return chi2, z
     e, _, _, z = _edge_residuals(cam, prob, want_point=False,
                                  o_group=o_group)
     chi2 = prob.edge_inv_sigma2 * jnp.sum(e * e, axis=-1)
@@ -649,18 +375,3 @@ def global_bundle_adjust(cam: Camera, prob: BAProblem, iters: int = 20):
     kf_fixed)."""
     prob = run_lm(cam, prob, iters, use_huber=True)
     return prob._replace(kf_pose=se3.renormalize(prob.kf_pose))
-
-
-# ---------------------------------------------------------------------
-# Kernel selection. The component-major kernels are the default (BA
-# iteration 0.28 ms vs 1.63). They were transiently blamed for the
-# round-2/3 tracking regression; the true cause was duplicate point ids
-# in kf_obs rows corrupting observation_table (see replace_points).
-# With the duplicate guard in place both kernel sets produce identical
-# tracking health (kf_rate A/B, round 4); MYSLAM_LEGACY_KERNELS=1
-# selects the pre-component-major versions for comparison.
-import os as _os
-
-if _os.environ.get("MYSLAM_LEGACY_KERNELS", "") == "1":
-    from ._legacy_ba import (  # noqa: F401,F811
-        run_lm, bundle_adjust, refine_points_only, edge_chi2_depth)

@@ -28,44 +28,6 @@ CHI2_MONO = 5.991    # 95% quantile of chi^2_2 (reference src/Optimizer.cc:337)
 CHI2_STEREO = 7.815  # 95% quantile of chi^2_3 (reference src/Optimizer.cc:338)
 
 
-def _chol_solve6(H, b):
-    """Solve the damped-SPD 6x6 system H x = b by fully unrolled Cholesky.
-
-    jnp.linalg.solve lowers to an LU custom call with a pivoting loop —
-    serial scalar work the TPU pays ~10us for, 40x per pose optimization.
-    The unrolled Cholesky is pure elementwise arithmetic XLA fuses into
-    the surrounding kernel (and it vmaps cleanly for the multi-start
-    escape). H must be symmetric positive definite (guaranteed by the
-    Marquardt-damped Gauss-Newton Hessian plus the 1e-9 floor)."""
-    L = [[None] * 6 for _ in range(6)]
-    for i in range(6):
-        s = H[..., i, i]
-        for k in range(i):
-            s = s - L[i][k] * L[i][k]
-        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
-        inv_d = 1.0 / L[i][i]
-        for j in range(i + 1, 6):
-            s = H[..., j, i]
-            for k in range(i):
-                s = s - L[j][k] * L[i][k]
-            L[j][i] = s * inv_d
-    # forward substitution L y = b
-    y = [None] * 6
-    for i in range(6):
-        s = b[..., i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
-    # back substitution L^T x = y
-    x = [None] * 6
-    for i in reversed(range(6)):
-        s = y[i]
-        for k in range(i + 1, 6):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
-    return jnp.stack(x, axis=-1)
-
-
 def _edges(cam, Tcw, xyz_w, uvr, stereo_mask, bf):
     """3-row residuals with the mono third row masked off."""
     e, Jp, _, z = stereo_point_jacobians(cam, Tcw, xyz_w, uvr, bf,
@@ -76,60 +38,6 @@ def _edges(cam, Tcw, xyz_w, uvr, stereo_mask, bf):
     e = e * row_mask
     Jp = Jp * row_mask[..., None]
     return e, Jp, z
-
-
-def _pose_rows(cam, Tcw, xyz_w, uvr, stereo_mask, bf):
-    """Per-edge scalar components ([N] vectors) of the 3-row pose edge.
-
-    Same linearization as _edges, expanded to scalar columns: [N,3,6]
-    Jacobian tensors have 3x6 minor dims that pad to full (8,128) TPU
-    tiles, and their batch-of-tiny-matmul contractions lower to layout
-    copies — component [N] vectors tile perfectly (see optim/ba.py
-    component-major kernels for the profile evidence).
-
-    Returns (rows, z): rows is a list of 3 dicts {r: [N], Jp: 6x [N]}.
-    """
-    r00, r01, r02, t0 = Tcw[0, 0], Tcw[0, 1], Tcw[0, 2], Tcw[0, 3]
-    r10, r11, r12, t1 = Tcw[1, 0], Tcw[1, 1], Tcw[1, 2], Tcw[1, 3]
-    r20, r21, r22, t2 = Tcw[2, 0], Tcw[2, 1], Tcw[2, 2], Tcw[2, 3]
-    X0, X1, X2 = xyz_w[:, 0], xyz_w[:, 1], xyz_w[:, 2]
-    px = r00 * X0 + r01 * X1 + r02 * X2 + t0
-    py = r10 * X0 + r11 * X1 + r12 * X2 + t1
-    pz = r20 * X0 + r21 * X1 + r22 * X2 + t2
-    # z floor 1e-3 (not 1e-9): unmatched edges gather xyz=0 and sit at the
-    # camera plane; fx/z at z=1e-9 squares to inf in f32, and inf * (zero
-    # weight) = NaN freezes the LM accept test. Such edges are always
-    # masked by `active`/chi2 gates, so the distortion is irrelevant.
-    z = jnp.where(jnp.abs(pz) < 1e-3, 1e-3, pz)
-    inv_z = 1.0 / z
-    inv_z2 = inv_z * inv_z
-    u = cam.fx * px * inv_z + cam.cx
-    v = cam.fy * py * inv_z + cam.cy
-    a = cam.fx * inv_z
-    b = cam.fy * inv_z
-    c = -cam.fx * px * inv_z2
-    d = -cam.fy * py * inv_z2
-    g = c + bf * inv_z2
-    ur = u - bf * inv_z
-
-    def row(A0, A1, A2, res):
-        return dict(r=res,
-                    Jp=[A1 * pz - A2 * py,
-                        A2 * px - A0 * pz,
-                        A0 * py - A1 * px,
-                        -A0, -A1, -A2])
-
-    m = stereo_mask.astype(jnp.float32)
-    r3 = row(a, 0.0, g, uvr[:, 2] - ur)
-    rows = [row(a, 0.0, c, uvr[:, 0] - u),
-            row(0.0, b, d, uvr[:, 1] - v),
-            dict(r=r3["r"] * m, Jp=[j * m for j in r3["Jp"]])]
-    return rows, pz
-
-
-def _pose_chi2(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2):
-    rows, z = _pose_rows(cam, Tcw, xyz_w, uvr, stereo_mask, bf)
-    return inv_sigma2 * sum(r["r"] * r["r"] for r in rows), z
 
 
 def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
@@ -150,37 +58,23 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
         return jnp.sum(jnp.where(active, rho, 0.0))
 
     def total_chi2(T):
-        chi2, _ = _pose_chi2(cam, T, xyz_w, uvr, stereo_mask, bf,
-                             inv_sigma2)
-        return robust_cost(chi2)
+        e, _, _ = _edges(cam, T, xyz_w, uvr, stereo_mask, bf)
+        return robust_cost(inv_sigma2 * jnp.sum(e * e, axis=-1))
 
     def step(carry, _):
         T, lam = carry
-        rows, _ = _pose_rows(cam, T, xyz_w, uvr, stereo_mask, bf)
-        chi2 = inv_sigma2 * sum(r["r"] * r["r"] for r in rows)
+        e, Jp, _ = _edges(cam, T, xyz_w, uvr, stereo_mask, bf)
+        chi2 = inv_sigma2 * jnp.sum(e * e, axis=-1)
         cost_cur = robust_cost(chi2)  # reuse: no second edge eval at T
         w = inv_sigma2
         if use_huber:
             w = w * huber_weight(chi2, delta_sq)
         w = jnp.where(active, w, 0.0)
-        # one fused panel [42, N] = H(36) | b(6), one reduce — no
-        # [N,3,6] tensors (see _pose_rows docstring); axis-0 stack keeps
-        # each column a contiguous [N] block
-        # w folded into the first factor (0 * huge stays 0, not NaN)
-        wJp = [[w * j for j in r["Jp"]] for r in rows]
-        cols = []
-        for ai in range(6):
-            for bi in range(6):
-                cols.append(sum(wj[ai] * r["Jp"][bi]
-                                for wj, r in zip(wJp, rows)))
-        for ai in range(6):
-            cols.append(-sum(wj[ai] * r["r"] for wj, r in zip(wJp, rows)))
-        sums = jnp.stack(cols, axis=0).sum(-1)            # [42]
-        H = sums[:36].reshape(6, 6)
-        b = sums[36:42]
+        H = jnp.einsum("nij,nik,n->jk", Jp, Jp, w)
+        b = -jnp.einsum("nij,ni,n->j", Jp, e, w)
         # Marquardt damping on the diagonal.
         H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-        delta = _chol_solve6(H_damped, b)
+        delta = jnp.linalg.solve(H_damped, b)
         T_new = se3.retract(T, delta)
         improved = total_chi2(T_new) < cost_cur
         T_next = jax.tree.map(lambda a, b: jnp.where(improved, a, b), T_new, T)
@@ -208,13 +102,9 @@ def _valley_escape(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2,
     run batched under vmap — the pose problem is tiny, so this costs a
     fraction of a frame.
     """
-    rows, _ = _pose_rows(cam, Tcw, xyz_w, uvr, stereo_mask, bf)
+    e, Jp, _ = _edges(cam, Tcw, xyz_w, uvr, stereo_mask, bf)
     w = jnp.where(active, inv_sigma2, 0.0)
-    wJp = [[w * j for j in r["Jp"]] for r in rows]
-    H = jnp.stack(
-        [sum(wj[ai] * r["Jp"][bi] for wj, r in zip(wJp, rows))
-         for ai in range(6) for bi in range(6)], axis=0
-    ).sum(-1).reshape(6, 6) + 1e-6 * jnp.eye(6)
+    H = jnp.einsum("nij,nik,n->jk", Jp, Jp, w) + 1e-6 * jnp.eye(6)
     evals, evecs = jnp.linalg.eigh(H)
     # nudges along the THREE weakest eigendirections, two amplitudes each
     # (observed spurious minima sit along low-curvature directions, not
@@ -230,8 +120,8 @@ def _valley_escape(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2,
     def run(T0):
         T = _lm_rounds(cam, T0, xyz_w, uvr, stereo_mask, bf, inv_sigma2,
                        active, delta_sq, iters, False)
-        chi2, z2 = _pose_chi2(cam, T, xyz_w, uvr, stereo_mask, bf,
-                              inv_sigma2)
+        e2, _, z2 = _edges(cam, T, xyz_w, uvr, stereo_mask, bf)
+        chi2 = inv_sigma2 * jnp.sum(e2 * e2, axis=-1)
         # compare on the robust (Huber) cost over the active set so one
         # diverged edge cannot veto a better basin
         gate = delta_sq
@@ -301,15 +191,7 @@ def optimize_pose(cam: Camera, Tcw0, xyz_w, uv, inv_sigma2, valid,
             Tcw = _valley_escape(cam, Tcw, xyz_w, uvr, stereo_mask, bf,
                                  inv_sigma2, inlier, delta_sq,
                                  iters_per_round)
-        chi2, z = _pose_chi2(cam, Tcw, xyz_w, uvr, stereo_mask, bf,
-                             inv_sigma2)
+        e, _, z = _edges(cam, Tcw, xyz_w, uvr, stereo_mask, bf)
+        chi2 = inv_sigma2 * jnp.sum(e * e, axis=-1)
         inlier = valid & (chi2 <= chi2_th) & (z > 0)
     return Tcw, inlier, jnp.sum(inlier.astype(jnp.int32))
-
-
-# ---------------------------------------------------------------------
-# Kernel selection — see the matching note in ba.py.
-import os as _os
-
-if _os.environ.get("MYSLAM_LEGACY_KERNELS", "") == "1":
-    from ._legacy_pose_opt import optimize_pose  # noqa: F401,F811

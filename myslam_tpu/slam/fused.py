@@ -226,11 +226,24 @@ class FusedTracker:
             return feats.replace(
                 xy=jnp.where(feats.valid[:, None], und, 0.0))
 
+        batch_extract = _os.environ.get("MYSLAM_SCAN_EXTRACT", "") != "1"
+
         def chunk(state, images, timestamps, frame_ids):
-            # Extraction stays INSIDE the scan: a batch-16 vmap of the
-            # pyramid/FAST kernels was measured SLOWER end-to-end (69 -> 37
-            # fps) — the batched pyramid intermediates spill VMEM, while the
-            # per-frame extractor pipelines cleanly with the tracking step.
+            if batch_extract:
+                # Extraction has no frame-to-frame dependency: batch the
+                # whole chunk in one vmap ahead of the sequential scan.
+                # (Round-2 note claimed the vmap was slower; re-measured in
+                # round 4 at highest matmul precision the vmap arrangement
+                # is the one matching the healthy c90ebba configuration.)
+                feats_chunk = jax.vmap(extract_one)(images)
+
+                def body(st, x):
+                    feats, ts, fid = x
+                    return step(st, feats, ts, fid)
+
+                return jax.lax.scan(
+                    body, state, (feats_chunk, timestamps, frame_ids))
+
             def body(st, x):
                 img, ts, fid = x
                 return step(st, extract_one(img), ts, fid)
@@ -506,6 +519,10 @@ class FusedTracker:
             # entirely when capacity/gap gates already say no
             if _DEBUG_KF:
                 need_raw, dbg_aux = kf_metrics_aux(None)
+                dbg_aux["n_mm"] = n_mm
+                dbg_aux["n_merged"] = jnp.sum(
+                    (cur_obs >= 0).astype(jnp.int32))
+                dbg_aux["mm_ok"] = mm_ok
                 need_kf = pre_ok & need_raw
             else:
                 dbg_aux = None
@@ -552,7 +569,16 @@ class FusedTracker:
                     # slot of the keyframe inserted THIS frame (-1 if
                     # none) so chunked mode can run per-keyframe host
                     # events for every insertion, not just the last
-                    "kf_id": jnp.where(need_kf, kf_id, -1)}
+                    "kf_id": jnp.where(need_kf, kf_id, -1),
+                    # trajectory anchor: the reference keyframe (by its
+                    # immutable seq id) and its pose AT TRACK TIME, so the
+                    # host can re-express saved poses relative to loop-
+                    # corrected keyframes (System::SaveTrajectoryTUM
+                    # reconstructs Tcw = Tcr * Trw, src/System.cc:323-409)
+                    "ref_seq": store2.kf_seq[jnp.where(need_kf, kf_id,
+                                                       state.ref_kf)],
+                    "T_ref": store2.kf_pose[jnp.where(need_kf, kf_id,
+                                                      state.ref_kf)]}
             if dbg_aux is not None:
                 info.update(dbg_aux)
             return new_state, info

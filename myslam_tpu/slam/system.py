@@ -283,9 +283,10 @@ class System:
 
     # ------------------------------------------------------------------
     def save_trajectory_tum(self, path: str):
-        """All tracked frames, TUM format (System::SaveTrajectoryTUM,
-        src/System.cc:323-391)."""
-        traj_io.save_tum(path, self.tracker.trajectory)
+        """All tracked frames, TUM format, re-anchored to the current
+        (loop-corrected) keyframe poses (System::SaveTrajectoryTUM
+        reconstructs Tcw = Tcr * Trw, src/System.cc:323-391)."""
+        traj_io.save_tum(path, self.tracker.corrected_trajectory())
 
     def save_keyframe_trajectory_tum(self, path: str):
         """Keyframe poses only (System::SaveKeyFrameTrajectoryTUM,
@@ -301,7 +302,7 @@ class System:
         traj_io.save_tum(path, kfs)
 
     def save_trajectory_kitti(self, path: str):
-        traj_io.save_kitti(path, self.tracker.trajectory)
+        traj_io.save_kitti(path, self.tracker.corrected_trajectory())
 
     # ------------------------------------------------------------------
     def save_map(self, path: str):

@@ -302,6 +302,14 @@ class Tracker:
         self.localization_only = False
         self._fused = None                # FusedTracker (lazy)
         self._fstate = None               # device TrackState mirror
+        # trajectory re-anchoring (System::SaveTrajectoryTUM semantics,
+        # src/System.cc:323-409): per trajectory entry, the reference
+        # keyframe's immutable seq id and its pose at track time; culled
+        # keyframes leave a relative-pose breadcrumb to their spanning-
+        # tree parent (KeyFrame::mTcp, src/KeyFrame.cc:453-545) so the
+        # chain still resolves after map surgery.
+        self.traj_anchors = []            # [(ref_seq, T_ref_at_track)]
+        self.culled_anchors = {}          # seq -> (parent_seq, T_rel)
 
     # ------------------------------------------------------------------
     def process_frame(self, feats: FrameFeatures, frame_id: int,
@@ -329,6 +337,9 @@ class Tracker:
             # device array kept as-is: converting here would force a
             # host sync per frame; savers convert lazily
             self.trajectory.append((frame_id, timestamp, self.Tcw))
+            r = self.ref_kf
+            self.traj_anchors.append((self.store.kf_seq[r],
+                                      self.store.kf_pose[r]))
         return tracked
 
     def process_chunk(self, feats_chunk, frame_ids, timestamps):
@@ -402,6 +413,8 @@ class Tracker:
             self.trajectory.append((int(frame_ids[i]),
                                     float(timestamps[i]),
                                     infos["Tcw"][i]))
+            self.traj_anchors.append((int(infos["ref_seq"][i]),
+                                      infos["T_ref"][i]))
         # convention: frame_id is the NEXT id (matches write_back /
         # TrackState.frame_id = last + 1)
         self.frame_id = int(frame_ids[-1]) + 1
@@ -449,7 +462,104 @@ class Tracker:
             # else: write_back already left chunk-end Tcw/last_obs
             self.last_feats = last_feats
             self._fstate = None
+        elif (int(np.asarray(st.store.kf_valid).sum())
+              >= self.cfg.kf_cap - 2):
+            # cap-starved with NO insertion this chunk: the fused step's
+            # cap_ok gate is blocking keyframes, and since culling
+            # normally runs per-insertion it would never fire again —
+            # the arena deadlocks full while the sequence moves on (the
+            # failure mode that killed bench --full at 62/64 KFs). Run a
+            # standalone cull pass to free slots so insertion resumes.
+            self._fused.write_back(st, self, last_feats=None)
+            self.n_kf = int(np.asarray(st.store.kf_valid).sum())
+            ref = int(np.asarray(st.ref_kf))
+            store = self.store
+            red = local_mapping.redundant_keyframes(store, ref)
+            seqs = np.asarray(store.kf_seq)
+            newest = np.argsort(seqs)[-2:]
+            red_ids = [r for r in np.nonzero(np.asarray(red))[0]
+                       if r not in newest]
+            if not red_ids:
+                # nothing formally redundant: evict the most-connected
+                # keyframe (highest covisibility mass = densest local
+                # cluster, so its viewpoint is best covered by others).
+                # Isolated keyframes — unique viewpoints like the far
+                # side of an orbit — are exactly what loop closure will
+                # need, so they are the last to go.
+                W = np.array(map_store.covisibility(store))
+                mass = W.sum(1).astype(np.float64)
+                mass[~np.asarray(store.kf_valid)] = -1
+                mass[newest] = -1
+                mass[ref] = -1
+                if mass.max() > 0:
+                    red_ids = [int(np.argmax(mass))]
+            target = int(0.75 * self.cfg.kf_cap)
+            for rid in red_ids[:max(self.n_kf - target, 1)]:
+                store = self._erase_keyframe(store, int(rid))
+            self.store = store
+            self._fstate = None
         return tracked
+
+    def _erase_keyframe(self, store, rid: int):
+        """Erase a keyframe, leaving a relative-pose breadcrumb to its
+        spanning-tree parent so trajectory entries anchored to it still
+        resolve after the cull (KeyFrame::mTcp retention,
+        src/KeyFrame.cc:453-545)."""
+        seq = int(store.kf_seq[rid])
+        parent = int(store.kf_parent[rid])
+        if parent < 0 or not bool(store.kf_valid[parent]):
+            # root or orphan: anchor to the best-covisible alive keyframe
+            W = np.array(map_store.covisibility(store)[rid])
+            W[~np.asarray(store.kf_valid)] = -1
+            W[rid] = -1
+            parent = int(np.argmax(W)) if W.max() > 0 else -1
+        if parent >= 0:
+            T_rel = se3.compose(store.kf_pose[rid],
+                                se3.inverse(store.kf_pose[parent]))
+            self.culled_anchors[seq] = (int(store.kf_seq[parent]),
+                                        np.asarray(T_rel))
+        store = map_store.erase_keyframe(store, rid)
+        if self.loop_closer is not None:
+            self.loop_closer.db = self.loop_closer.db.erase(rid)
+        self.n_kf -= 1
+        return store
+
+    def corrected_trajectory(self):
+        """Trajectory with every pose re-expressed relative to the
+        CURRENT (loop-corrected, BA-refined) pose of its anchor keyframe:
+        Tcw_now = (Tcw_raw o T_ref_raw^-1) o T_ref_now, chaining through
+        culled-keyframe breadcrumbs (System::SaveTrajectoryTUM,
+        src/System.cc:323-409). Returns [(frame_id, timestamp, Tcw)]."""
+        store = self.store
+        seqs = np.asarray(store.kf_seq)
+        valid = np.asarray(store.kf_valid)
+        slot_of = {int(s): i for i, s in enumerate(seqs) if valid[i]}
+        poses_now = np.asarray(store.kf_pose)
+        out = []
+        for (fid, ts, Tcw), (ref_seq, T_ref_raw) in zip(
+                self.trajectory, self.traj_anchors):
+            Tcw = np.asarray(Tcw)
+            s = int(np.asarray(ref_seq))
+            T_chain = np.asarray(se3.identity())
+            hops = 0
+            while s >= 0 and s not in slot_of and s in self.culled_anchors \
+                    and hops < 64:
+                parent_seq, T_rel = self.culled_anchors[s]
+                T_chain = np.asarray(se3.compose(
+                    jnp.asarray(T_chain), jnp.asarray(T_rel)))
+                s = parent_seq
+                hops += 1
+            if s in slot_of:
+                T_ref_now = np.asarray(se3.compose(
+                    jnp.asarray(T_chain),
+                    jnp.asarray(poses_now[slot_of[s]])))
+                T_cr = np.asarray(se3.compose(
+                    jnp.asarray(Tcw),
+                    se3.inverse(jnp.asarray(np.asarray(T_ref_raw)))))
+                Tcw = np.asarray(se3.compose(jnp.asarray(T_cr),
+                                             jnp.asarray(T_ref_now)))
+            out.append((fid, ts, Tcw))
+        return out
 
     def _track_fused(self, feats, frame_id, timestamp) -> bool:
         """OK-state fast path: one fused device step per frame
@@ -930,13 +1040,16 @@ class Tracker:
             red_ids = [r for r in np.nonzero(np.asarray(red))[0]
                        if r not in newest]
             if not reference_mode:
-                red_ids = red_ids[:1]
+                # cull enough to clear the pressure band (chunked mode can
+                # insert several KFs between host events — one erase per
+                # insertion cannot keep up and the arena deadlocks at the
+                # cap: cap_ok blocks insertion, which blocks the cull that
+                # would free a slot)
+                target = int(0.75 * self.cfg.kf_cap)
+                n_over = max(self.n_kf - target, 1)
+                red_ids = red_ids[:n_over]
             for rid in red_ids:
-                store = map_store.erase_keyframe(store, int(rid))
-                if self.loop_closer is not None:
-                    self.loop_closer.db = self.loop_closer.db.erase(
-                        int(rid))
-                self.n_kf -= 1
+                store = self._erase_keyframe(store, int(rid))
 
         # ---- loop closing (LoopClosing::Run body, synchronous) ----
         if self.loop_closer is not None:
@@ -971,6 +1084,8 @@ class Tracker:
         self.last_kf_frame = -10**9
         self.init_feats = None
         self.trajectory = []
+        self.traj_anchors = []
+        self.culled_anchors = {}
         self.n_last_inliers = 0
         self.loop_closer = None
         self._fstate = None

@@ -154,9 +154,18 @@ class TestMapStoreBasics:
         mapping = mapping.at[a].set(b)
         store2 = map_store.replace_points(store, mapping)
         assert not bool(store2.pt_valid[a])
-        # observations redirected
+        # observations redirected — but NOT duplicated: both keyframes
+        # already observe b, so a's entries are ERASED, not redirected
+        # (MapPoint::Replace IsInKeyFrame branch, src/MapPoint.cc:196-199;
+        # a point appears at most once per keyframe row)
         assert int((store2.kf_obs == a).sum()) == 0
-        assert int((store2.kf_obs == b).sum()) == 4  # b's 2 + a's 2
+        assert int((store2.kf_obs == b).sum()) == 2
+        # a row that does NOT yet hold the target gets the redirect
+        obs3 = store.kf_obs.at[0].set(
+            jnp.where(store.kf_obs[0] == b, -1, store.kf_obs[0]))
+        store3 = map_store.replace_points(
+            store.replace(kf_obs=obs3), mapping)
+        assert int((store3.kf_obs[0] == b).sum()) == 1
 
 
 def build_two_kf_map(scene, n_pts=50):
@@ -493,3 +502,46 @@ class TestKeyframeCullingPolicy:
         tr = self._tracker_with(store, "pressure")
         tr._post_keyframe_events(4)
         assert np.asarray(tr.store.kf_valid)[:5].all()
+
+
+class TestNoDuplicateObservations:
+    """A point id must appear at most once per kf_obs row — duplicates
+    corrupt observation_table's factored (f+1) encode and from there
+    every refreshed point statistic (the round-2/3 tracking-quality
+    regression; fixed by replace_points' erase semantics +
+    fuse_into_keyframe's IsInKeyFrame skip)."""
+
+    def test_obs_table_guard_on_artificial_duplicate(self):
+        store = map_store.MapStore.create(kf_cap=4, pt_cap=64,
+                                          feat_cap=F_CAP)
+        obs = store.kf_obs.at[0, 3].set(7).at[0, 9].set(7).at[0, 1].set(5)
+        store = store.replace(
+            kf_obs=obs,
+            kf_valid=store.kf_valid.at[0].set(True),
+            pt_valid=store.pt_valid.at[7].set(True).at[5].set(True))
+        kf, ft, ok = map_store.observation_table(
+            store, jnp.arange(store.pt_cap), 4)
+        kf, ft, ok = map(np.asarray, (kf, ft, ok))
+        # the duplicated point decodes to a MISS, never a garbage index
+        assert not ok[7].any()
+        # the clean point still resolves exactly
+        row = np.nonzero(ok[5])[0]
+        assert len(row) == 1 and ft[5][row[0]] == 1 and kf[5][row[0]] == 0
+
+    def test_fuse_pass_leaves_rows_duplicate_free(self):
+        scene = Scene()
+        store, ids = build_two_kf_map(scene)
+        store = map_store.refresh_point_stats(store, ids)
+        # fuse each keyframe against the other's full point set twice —
+        # the second pass would previously re-add already-observed points
+        for _ in range(2):
+            for kf_id, other in ((0, 1), (1, 0)):
+                pts = store.kf_obs[other]
+                store = local_mapping.fuse_into_keyframe(
+                    store, CAM, kf_id, pts, pts >= 0)
+        obs = np.asarray(store.kf_obs)
+        for k in range(2):
+            vals = obs[k][obs[k] >= 0]
+            uniq, cnt = np.unique(vals, return_counts=True)
+            assert cnt.max(initial=1) == 1, \
+                f"kf {k} holds duplicate point ids"

@@ -51,7 +51,7 @@ def umeyama_ate(est, gt):
 def main():
     CHUNK_F = 8
     n_frames = arg("--frames", 192)
-    kf_cap = arg("--kf-cap", 64)
+    kf_cap = arg("--kf-cap", 128)
     scene = synthetic.Rendered3DScene(width=640, height=480, t_loop=180,
                                       fx=450.0, fy=450.0, n_points=16000)
     cam = Camera.create(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
@@ -109,7 +109,7 @@ def main():
         i += CHUNK_F
 
     est, gt = [], []
-    for fid, _, Tcw in tr.trajectory:
+    for fid, _, Tcw in tr.corrected_trajectory():
         est.append(np.asarray(se3.camera_center(jnp.asarray(Tcw))))
         gt.append(scene.gt_center(int(fid)))
     ate = umeyama_ate(np.stack(est), np.stack(gt))

@@ -36,13 +36,16 @@ def main():
                         width=640, height=480)
     ex = ORBExtractor(480, 640, n_features=2000)
     no_ba = "--no-ba" in sys.argv
+    kw = {}
+    if "--no-so" in sys.argv:       # disable second-order fuse
+        kw["fuse_second_order"] = 0
     cfg = tracking.TrackingConfig(
         kf_cap=64, pt_cap=16384, feat_cap=ex.capacity,
         local_kf=8, local_pts=4096,
         ba_free=8, ba_fixed=8, ba_pts=4096, ba_obs=8,
         ba_iters1=0 if no_ba else 8, ba_iters2=0 if no_ba else 12,
         tri_neighbors=4, max_new_points=512,
-        enable_loop_closing=False)
+        enable_loop_closing=False, **kw)
     tr = tracking.Tracker(cam, cfg)
 
     i = 0
@@ -84,6 +87,9 @@ def main():
                       f"c1a={int(info['c1a'][k])} c2={int(info['c2'][k])} "
                       f"geo_t={int(info['geo_t'][k])} "
                       f"geo_r={int(info['geo_r'][k])} "
+                      f"n_mm={int(info['n_mm'][k])} "
+                      f"mm_ok={int(info['mm_ok'][k])} "
+                      f"n_mrg={int(info['n_merged'][k])} "
                       f"n_in={int(n_in[k])} "
                       f"ref_trk={int(info['ref_tracked'][k])} "
                       f"base={float(info['base'][k]):.4f} "
