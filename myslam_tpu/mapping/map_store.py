@@ -277,8 +277,9 @@ def covisibility_from(B):
     """Covisibility from a precomputed incidence matrix (the fused step
     caches B in TrackState — it only changes at keyframe events)."""
     Bf = B.astype(jnp.float32)
-    W = jnp.dot(Bf, Bf.T,
-                preferred_element_type=jnp.float32).astype(jnp.int32)
+    # 0/1 operands, integer counts <= F: bit-exact in single-pass bf16
+    W = jnp.dot(Bf, Bf.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT).astype(jnp.int32)
     return W - jnp.diag(jnp.diag(W))
 
 

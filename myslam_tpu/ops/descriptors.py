@@ -90,8 +90,11 @@ def orb_descriptors_from_patches(patches, angle, valid):
                                               PATCH_S * PATCH_S), 2)
     Sel = (kk == _BIN_IDX[:, :, None]).astype(jnp.float32)
     # all bins x all keypoints sampling: [B, N, 512]
+    # bf16 single-pass (see ops/patches.py): one-hot selectors are exact
+    # and the data is intensity-scale
     V = jnp.einsum("nk,bsk->bns", flat, Sel,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
 
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * ANGLE_BINS)
@@ -99,14 +102,18 @@ def orb_descriptors_from_patches(patches, angle, valid):
     oh = (bins[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (n, ANGLE_BINS), 1)).astype(jnp.float32)
     Vn = jnp.einsum("bns,nb->ns", V, oh,
-                    preferred_element_type=jnp.float32)   # [N, 512]
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)   # [N, 512]
 
     bits = (Vn[:, :N_BITS] < Vn[:, N_BITS:]).astype(jnp.float32)  # [N, 256]
     lanes = bits.reshape(n, 8, 32)
+    # 0/1 lanes x power-of-two weights: exact in bf16 (f32 accumulate)
     lo = jnp.dot(lanes[:, :, :16], _PACK_LO,
-                 preferred_element_type=jnp.float32)
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT)
     hi = jnp.dot(lanes[:, :, 16:], _PACK_HI,
-                 preferred_element_type=jnp.float32)
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT)
     desc = (lo.astype(jnp.uint32)
             | (hi.astype(jnp.uint32) << jnp.uint32(16)))
     return jnp.where(valid[:, None], desc, jnp.zeros_like(desc))

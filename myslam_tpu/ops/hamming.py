@@ -41,7 +41,11 @@ def hamming_matrix(desc_q, desc_c):
     """
     A = unpack_pm1(desc_q)
     B = unpack_pm1(desc_c)
-    dot = jnp.dot(A, B.T, preferred_element_type=jnp.float32)
+    # +-1 operands are exact in bf16 and the f32 accumulator holds exact
+    # integer sums <= 256: single-pass DEFAULT is bit-exact here, and
+    # these are the largest per-frame matmul tiles (motion/local match)
+    dot = jnp.dot(A, B.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 

@@ -99,6 +99,14 @@ def bincount_mm(idx, size: int):
     return jnp.sum(oh, axis=0).astype(jnp.int32)
 
 
+# NOTE on precision: mm_gather / mm_gather_int / mm_gather_u32 /
+# mm_scatter_* intentionally inherit the package-wide 'high' (3-pass
+# bf16) default — the one-hot factor is exact, and 3 passes represent
+# f32 tables to ~2^-21 (and integers < 2^17 exactly), which geometry
+# and id tables need. Single-pass DEFAULT would quantize gathered ids
+# above 256 and xyz coordinates to bf16 (the round-2 corruption class).
+
+
 def mm_gather_u32(table, idx):
     """uint32-table gather via two u16 halves (each < 2^16, exact in f32).
     Used for packed descriptors. Invalid ids yield 0."""
