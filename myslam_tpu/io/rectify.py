@@ -69,18 +69,18 @@ def remap_bilinear(img, map_x, map_y):
     planes — runs on device so rectification fuses into the frame
     pipeline."""
     H, W = img.shape
-    x0 = jnp.floor(map_x)
-    y0 = jnp.floor(map_y)
-    fx = map_x - x0
-    fy = map_y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i = jnp.floor(map_x).astype(jnp.int32)
+    y0i = jnp.floor(map_y).astype(jnp.int32)
     # x == W-1 / y == H-1 are valid samples (cv::remap treats the last
     # pixel as in-bounds); the clamped x0c/y0c below keep the gather safe
     inb = ((map_x >= 0) & (map_x <= W - 1)
            & (map_y >= 0) & (map_y <= H - 1))
     x0c = jnp.clip(x0i, 0, W - 2)
     y0c = jnp.clip(y0i, 0, H - 2)
+    # Fractions against the CLAMPED base: at map_x == W-1 the base clamps
+    # to W-2, so fx must be 1 (not 0) to sample the true last column.
+    fx = map_x - x0c
+    fy = map_y - y0c
     i00 = img[y0c, x0c]
     i01 = img[y0c, x0c + 1]
     i10 = img[y0c + 1, x0c]

@@ -488,6 +488,7 @@ def _row_counts(rows, P: int):
     return cnt.reshape(K, H * L)[:, :P]
 
 
+@jax.jit
 def replace_points(store: MapStore, old_to_new):
     """Merge points: every observation of point i is redirected to
     old_to_new[i] (identity where no merge). Array form of

@@ -649,18 +649,3 @@ def global_bundle_adjust(cam: Camera, prob: BAProblem, iters: int = 20):
     kf_fixed)."""
     prob = run_lm(cam, prob, iters, use_huber=True)
     return prob._replace(kf_pose=se3.renormalize(prob.kf_pose))
-
-
-# ---------------------------------------------------------------------
-# Kernel selection. The component-major kernels are the default (BA
-# iteration 0.28 ms vs 1.63). They were transiently blamed for the
-# round-2/3 tracking regression; the true cause was duplicate point ids
-# in kf_obs rows corrupting observation_table (see replace_points).
-# With the duplicate guard in place both kernel sets produce identical
-# tracking health (kf_rate A/B, round 4); MYSLAM_LEGACY_KERNELS=1
-# selects the pre-component-major versions for comparison.
-import os as _os
-
-if _os.environ.get("MYSLAM_LEGACY_KERNELS", "") == "1":
-    from ._legacy_ba import (  # noqa: F401,F811
-        run_lm, bundle_adjust, refine_points_only, edge_chi2_depth)

@@ -305,11 +305,3 @@ def optimize_pose(cam: Camera, Tcw0, xyz_w, uv, inv_sigma2, valid,
                              inv_sigma2)
         inlier = valid & (chi2 <= chi2_th) & (z > 0)
     return Tcw, inlier, jnp.sum(inlier.astype(jnp.int32))
-
-
-# ---------------------------------------------------------------------
-# Kernel selection — see the matching note in ba.py.
-import os as _os
-
-if _os.environ.get("MYSLAM_LEGACY_KERNELS", "") == "1":
-    from ._legacy_pose_opt import optimize_pose  # noqa: F401,F811

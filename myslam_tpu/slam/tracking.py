@@ -470,7 +470,13 @@ class Tracker:
             # the arena deadlocks full while the sequence moves on (the
             # failure mode that killed bench --full at 62/64 KFs). Run a
             # standalone cull pass to free slots so insertion resumes.
-            self._fused.write_back(st, self, last_feats=None)
+            # last_feats must be chunk-end fresh here: _fstate is reset
+            # below, so the next chunk rebuilds last_level/last_angle
+            # from (last_feats, last_obs) — a stale pairing degrades the
+            # motion-model match on the first post-cull frame.
+            if last_feats is None:
+                last_feats = last_feats_fn()
+            self._fused.write_back(st, self, last_feats=last_feats)
             self.n_kf = int(np.asarray(st.store.kf_valid).sum())
             ref = int(np.asarray(st.ref_kf))
             store = self.store
@@ -535,29 +541,37 @@ class Tracker:
         valid = np.asarray(store.kf_valid)
         slot_of = {int(s): i for i, s in enumerate(seqs) if valid[i]}
         poses_now = np.asarray(store.kf_pose)
+
+        # Pure-NumPy 3x4 composition — this runs per trajectory entry on
+        # the host; device calls here would cost a tunnel round trip each
+        # (~41 ms) for a few microseconds of math.
+        def _comp(Ta, Tb):
+            R = Ta[:3, :3] @ Tb[:3, :3]
+            t = Ta[:3, :3] @ Tb[:3, 3] + Ta[:3, 3]
+            return np.concatenate([R, t[:, None]], axis=1)
+
+        def _inv(T):
+            Rt = T[:3, :3].T
+            return np.concatenate([Rt, (-Rt @ T[:3, 3])[:, None]], axis=1)
+
         out = []
         for (fid, ts, Tcw), (ref_seq, T_ref_raw) in zip(
                 self.trajectory, self.traj_anchors):
             Tcw = np.asarray(Tcw)
             s = int(np.asarray(ref_seq))
-            T_chain = np.asarray(se3.identity())
+            T_chain = np.concatenate(
+                [np.eye(3, dtype=np.float64), np.zeros((3, 1))], axis=1)
             hops = 0
             while s >= 0 and s not in slot_of and s in self.culled_anchors \
                     and hops < 64:
                 parent_seq, T_rel = self.culled_anchors[s]
-                T_chain = np.asarray(se3.compose(
-                    jnp.asarray(T_chain), jnp.asarray(T_rel)))
+                T_chain = _comp(T_chain, np.asarray(T_rel))
                 s = parent_seq
                 hops += 1
             if s in slot_of:
-                T_ref_now = np.asarray(se3.compose(
-                    jnp.asarray(T_chain),
-                    jnp.asarray(poses_now[slot_of[s]])))
-                T_cr = np.asarray(se3.compose(
-                    jnp.asarray(Tcw),
-                    se3.inverse(jnp.asarray(np.asarray(T_ref_raw)))))
-                Tcw = np.asarray(se3.compose(jnp.asarray(T_cr),
-                                             jnp.asarray(T_ref_now)))
+                T_ref_now = _comp(T_chain, poses_now[slot_of[s]])
+                T_cr = _comp(Tcw, _inv(np.asarray(T_ref_raw)))
+                Tcw = _comp(T_cr, T_ref_now)
             out.append((fid, ts, Tcw))
         return out
 
