@@ -26,6 +26,7 @@ loop, src/LocalMapping.cc:48-113) — this mode is the honest comparison.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -152,7 +153,7 @@ def main_full():
     ate = _umeyama_ate(np.stack(est), np.stack(gt))
     n_loops = (len(tr.loop_closer.state.loop_edges)
                if tr.loop_closer is not None else 0)
-    print(json.dumps({
+    line = {
         "metric": "slam_full_pipeline_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -160,7 +161,18 @@ def main_full():
         "ate_rmse_m": round(ate, 4),
         "frames": int(n_frames_timed),
         "loop_closures": int(n_loops),
-    }))
+    }
+    print(json.dumps(line))
+    # tracked artifact so loop-closing + ATE can't silently regress
+    # between rounds (VERDICT r4 #2); reference measurement practice:
+    # mono_tum.cc:112-121 records per-run tracking stats
+    import platform as _platform
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "FULLBENCH.json"), "w") as f:
+        json.dump({**line,
+                   "platform": jax.devices()[0].platform,
+                   "host": _platform.node()}, f, indent=1)
+        f.write("\n")
 
 
 def main():

@@ -31,12 +31,24 @@ from myslam_tpu.mapping import local_mapping, map_store
 from myslam_tpu.slam import fused, tracking
 
 ITERS = 32
+SKIP = 0
 for i, a in enumerate(sys.argv):
     if a == "--iters":
         ITERS = int(sys.argv[i + 1])
+    if a == "--skip":
+        SKIP = int(sys.argv[i + 1])
+
+_STAGE_N = [0]
 
 
 def timed(name, fn, *args):
+    _STAGE_N[0] += 1
+    if _STAGE_N[0] <= SKIP:
+        return 0.0
+    return _timed(name, fn, *args)
+
+
+def _timed(name, fn, *args):
     """fn(*args) -> pytree; scan it ITERS times with a carried dep."""
 
     def body(carry, _):
