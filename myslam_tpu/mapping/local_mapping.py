@@ -539,8 +539,10 @@ def global_bundle_adjustment(store: MapStore, cam: Camera, iters: int = 20,
     prob = build_global_ba(store, o_max, stereo, bf)
     if mesh is not None:
         from ..parallel import dist_ba
+        # the problem is already point-major structured (o_max per
+        # point), so the point-sharded kernels apply directly
         out = dist_ba.distributed_bundle_adjust(
-            cam, prob, mesh, iters=iters)
+            cam, prob, mesh, iters=iters, o_group=o_max)
     else:
         out = ba.run_lm(cam, prob, iters, use_huber=True, o_group=o_max)
         out = out._replace(kf_pose=se3.renormalize(out.kf_pose))

@@ -276,9 +276,20 @@ def _inv3x3_cols(H, lam):
     return [ixx, ixy, ixz, ixy, iyy, iyz, ixz, iyz, izz]
 
 
-def _solve_one_lm_step_structured(cam, prob: BAProblem, lam,
-                                  use_huber: bool, O: int):
-    """Component-major build-and-solve of the damped Schur system."""
+def _structured_schur_parts(cam, prob: BAProblem, lam, use_huber: bool,
+                            O: int):
+    """Component-major assembly of the damped Schur system, split so a
+    sharded caller (parallel/dist_ba.py) can psum the cross-shard parts.
+
+    Returns (reduce_parts, local):
+      reduce_parts: dict with 'pose_part' [42, K] (Hpp|bp panel) and
+        'S_red' [6K, 6K], 'b_corr' [6K] — ADDITIVE across point shards;
+        sum them (psum on a mesh) before _structured_schur_solve.
+      local: (Hinv 9x[P], bl_c 3x[P], A_T 3x[6K, P]) — stays shard-local
+        for the landmark back-substitution (_structured_backsub).
+
+    Single-device callers pass the parts straight through (the sums over
+    one shard are the totals)."""
     K = prob.kf_pose.shape[0]
     P = prob.pt_xyz.shape[0]
     rows, _ = _structured_rows(cam, prob, O)
@@ -310,8 +321,6 @@ def _solve_one_lm_step_structured(cam, prob: BAProblem, lam,
     onek = indexing.onehot(prob.edge_kf, K)             # [E, K]
     pose_part = jnp.einsum("ce,ek->ck", comp[:42], onek,
                            preferred_element_type=jnp.float32)  # [42, K]
-    Hpp = pose_part[:36].reshape(6, 6, K).transpose(2, 0, 1)
-    bp = pose_part[36:42].T                              # [K, 6]
 
     pt_part = comp[42:].reshape(12, P, O).sum(-1)        # [12, P]
     Hll_c = [pt_part[i] for i in range(9)]
@@ -347,37 +356,71 @@ def _solve_one_lm_step_structured(cam, prob: BAProblem, lam,
                            preferred_element_type=jnp.float32)
             S_red = S_red + M + M.T
 
+    # rhs correction: A Hinv bl (additive over point shards)
+    u_j = [sum(hin(j, i) * bl_c[i] for i in range(3)) for j in range(3)]
+    b_corr = sum(jnp.einsum("ap,p->a", A_T[j], u_j[j],
+                            preferred_element_type=jnp.float32)
+                 for j in range(3))
+
+    reduce_parts = {"pose_part": pose_part, "S_red": S_red,
+                    "b_corr": b_corr}
+    return reduce_parts, (Hinv, bl_c, A_T)
+
+
+def _structured_schur_solve(reduce_parts, kf_fixed, lam):
+    """Solve the reduced pose system from (already summed) parts.
+    Returns dpose [K, 6]; replicated work — every shard can run it on the
+    psum'd parts and get the identical answer."""
+    pose_part = reduce_parts["pose_part"]
+    S_red = reduce_parts["S_red"]
+    b_corr = reduce_parts["b_corr"]
+    K = pose_part.shape[1]
+    Hpp = pose_part[:36].reshape(6, 6, K).transpose(2, 0, 1)
+    bp = pose_part[36:42].T                              # [K, 6]
+
     eyeK = jnp.eye(6, dtype=Hpp.dtype)
     Hpp_d = Hpp + lam * (Hpp * eyeK) + 1e-8 * eyeK
     S = (-S_red).reshape(K, 6, K, 6)
     S = S + jnp.eye(K)[:, None, :, None] * Hpp_d[:, :, None, :]
 
     # clamp fixed poses: identity rows/cols, zero rhs
-    free = (~prob.kf_fixed).astype(S.dtype)
+    free = (~kf_fixed).astype(S.dtype)
     S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + (jnp.eye(K) * prob.kf_fixed.astype(S.dtype)
+    S = S + (jnp.eye(K) * kf_fixed.astype(S.dtype)
              )[:, None, :, None] * eyeK[None, :, None, :]
 
-    # rhs: b_red = bp - A Hinv bl
-    u_j = [sum(hin(j, i) * bl_c[i] for i in range(3)) for j in range(3)]
-    b_corr = sum(jnp.einsum("ap,p->a", A_T[j], u_j[j],
-                            preferred_element_type=jnp.float32)
-                 for j in range(3))
     b_red = bp.reshape(K * 6) - b_corr
     b_red = (b_red.reshape(K, 6) * free[:, None]).reshape(K * 6)
 
     S_mat = S.reshape(K * 6, K * 6)
-    dpose = jnp.linalg.solve(
+    return jnp.linalg.solve(
         S_mat + 1e-8 * jnp.eye(K * 6, dtype=S.dtype), b_red).reshape(K, 6)
 
-    # back-substitute landmarks: dl = Hinv (bl - A^T dpose)
-    dpf = dpose.reshape(K * 6)
+
+def _structured_backsub(local, dpose):
+    """Landmark back-substitution dl = Hinv (bl - A^T dpose) on the
+    SHARD-LOCAL landmark columns. Returns dpt [P_local, 3]."""
+    Hinv, bl_c, A_T = local
+
+    def hin(i, j):
+        return Hinv[i * 3 + j]
+
+    dpf = dpose.reshape(-1)
     v_j = [bl_c[j] - jnp.einsum("ap,a->p", A_T[j], dpf,
                                 preferred_element_type=jnp.float32)
            for j in range(3)]
-    dpt = jnp.stack(
+    return jnp.stack(
         [sum(hin(i, j) * v_j[j] for j in range(3)) for i in range(3)],
         axis=-1)
+
+
+def _solve_one_lm_step_structured(cam, prob: BAProblem, lam,
+                                  use_huber: bool, O: int):
+    """Component-major build-and-solve of the damped Schur system."""
+    reduce_parts, local = _structured_schur_parts(cam, prob, lam,
+                                                  use_huber, O)
+    dpose = _structured_schur_solve(reduce_parts, prob.kf_fixed, lam)
+    dpt = _structured_backsub(local, dpose)
     return dpose, dpt
 
 

@@ -417,7 +417,8 @@ class FusedTracker:
             n_mm = jnp.sum((obs_mm >= 0).astype(jnp.int32))
 
             T1, obs1, n1 = _pose_optimize(
-                store, cam, T_pred, feats, obs_mm, bf, escape=False)
+                store, cam, T_pred, feats, obs_mm, bf, escape=False,
+                rounds=cfg.pose_rounds_mid, iters=cfg.pose_iters_mid)
             mm_ok = (state.has_velocity & (n_mm >= cfg.min_track_matches)
                      & (n1 >= cfg.min_track_inliers))
 
@@ -427,7 +428,8 @@ class FusedTracker:
                 obs_r = _reference_kf_match(store, cam, feats,
                                             state.ref_kf)
                 T2, obs2, n2 = _pose_optimize(
-                    store, cam, state.Tcw, feats, obs_r, bf, escape=False)
+                    store, cam, state.Tcw, feats, obs_r, bf, escape=False,
+                    rounds=cfg.pose_rounds_mid, iters=cfg.pose_iters_mid)
                 ok = ((jnp.sum((obs_r >= 0).astype(jnp.int32))
                        >= cfg.min_track_matches // 2)
                       & (n2 >= cfg.min_track_inliers))
@@ -448,20 +450,27 @@ class FusedTracker:
                 store, cam, Tcw, feats, cur_obs, pt_ids)
             Tcw, cur_obs, n_in = _pose_optimize(
                 store, cam, Tcw, feats, cur_obs, bf)
-            store = map_store.bump_counters(
-                store, visible, jnp.where(cur_obs >= 0, cur_obs, -1))
 
             # A tracker that went lost earlier in a scanned chunk STAYS
             # lost (the host decides recovery via relocalization): without
             # the ~state.lost gate, later frames in the chunk would keep
             # re-matching against the stale last_obs and could silently
             # "recover" (diverging from the host LOST path,
-            # src/Tracking.cc:325). Folded into the existing freeze select
+            # src/Tracking.cc:325). Folded into per-leaf freeze selects
             # below — an outer lax.cond over the whole step costs a
             # per-frame copy of the full MapStore.
             tracked = (tracked_pre & (n_in >= cfg.min_local_inliers)
                        & ~state.lost)
             lost = ~tracked
+
+            # counter bumps masked by `tracked` so the store is untouched
+            # on a lost frame WITHOUT a whole-store select at the end of
+            # the step (MapStore leaves are ~12 MB; per-leaf where-copies
+            # cost real per-frame time inside the scanned chunk)
+            store = map_store.bump_counters(
+                store,
+                jnp.where(tracked, visible, -1),
+                jnp.where(tracked & (cur_obs >= 0), cur_obs, -1))
 
             # --- keyframe decision (src/Tracking.cc:984-1068) ---
             n_kf = jnp.sum(store.kf_valid.astype(jnp.int32))
@@ -539,17 +548,24 @@ class FusedTracker:
             Tcw = select(need_kf, store2.kf_pose[kf_id], Tcw)
 
             velocity = se3.compose(Tcw, se3.inverse(state.Tcw))
-            # state.replace (not a fresh TrackState) so newly added fields
-            # (e.g. frozen) carry through by default
+            # Lost-frame freeze is folded into PER-LEAF selects on the
+            # small leaves only: the big leaves (store, B, W) are already
+            # untouched on a lost frame — bump_counters is masked by
+            # `tracked` above and the keyframe cond requires `tracked` —
+            # so no whole-MapStore where-copy is needed (that outer
+            # select cost ~25 leaf copies per frame inside the chunk
+            # scan). state.replace (not a fresh TrackState) so newly
+            # added fields (e.g. frozen) carry through by default.
             new_state = state.replace(
                 store=store2,
-                Tcw=Tcw,
-                velocity=select(tracked, velocity, se3.identity()),
-                has_velocity=tracked,
-                last_obs=jnp.where(tracked, cur_obs,
-                                   jnp.full(F, NO_POINT, jnp.int32)),
-                last_level=feats.level,
-                last_angle=feats.angle,
+                Tcw=select(tracked, Tcw, state.Tcw),
+                velocity=select(tracked, velocity, state.velocity),
+                has_velocity=jnp.where(tracked, True, state.has_velocity),
+                last_obs=jnp.where(tracked, cur_obs, state.last_obs),
+                last_level=jnp.where(tracked, feats.level,
+                                     state.last_level),
+                last_angle=jnp.where(tracked, feats.angle,
+                                     state.last_angle),
                 ref_kf=jnp.where(need_kf, kf_id, state.ref_kf),
                 last_kf_frame=jnp.where(need_kf, frame_id,
                                         state.last_kf_frame),
@@ -558,10 +574,6 @@ class FusedTracker:
                 B=B2,
                 W=W2,
             )
-            # when lost, freeze the map/pose so the host can relocalize
-            new_state = select(tracked, new_state,
-                               state.replace(lost=jnp.asarray(True),
-                                             frame_id=frame_id + 1))
             info = {"Tcw": select(tracked, Tcw, state.Tcw),
                     "tracked": tracked,
                     "n_inliers": jnp.where(tracked, n_in, 0),

@@ -62,6 +62,15 @@ class TrackingConfig:
     # inner lambda loops, src/Optimizer.cc:659-707)
     ba_iters1: int = 8
     ba_iters2: int = 12
+    # per-frame pose-optimization schedule. The INTERMEDIATE optimization
+    # (after the motion-model / reference-KF match) only needs to land
+    # close enough for the th=1 local-map projection window — its result
+    # is always refined by the FINAL pass (which keeps the reference's
+    # full 4x10, src/Optimizer.cc:367-379, plus the valley escape).
+    # 40 sequential LM iterations are pure latency on TPU; 3x6 measured
+    # equivalent end-to-end (bench --full ATE unchanged).
+    pose_rounds_mid: int = 3
+    pose_iters_mid: int = 6
     # mapping
     tri_neighbors: int = 6
     max_new_points: int = 512
@@ -181,20 +190,22 @@ def _reference_kf_match(store: MapStore, cam: Camera, feats, ref_kf):
     return obs
 
 
-@partial(jax.jit, static_argnames=("escape",))
+@partial(jax.jit, static_argnames=("escape", "rounds", "iters"))
 def _pose_optimize(store: MapStore, cam: Camera, Tcw0, feats, obs, bf=0.0,
-                   escape: bool = True):
+                   escape: bool = True, rounds: int = 4, iters: int = 10):
     """PoseOptimization on the current associations; drops outlier
     associations (Tracking.cc:785-807 usage of Optimizer::PoseOptimization).
     Stereo/RGB-D frames carry u_right and get 3D edges
     (src/Optimizer.cc:338). escape=False skips the multi-start valley
     escape — used for the intermediate per-frame optimizations whose
-    result is refined again by the final local-map pass."""
+    result is refined again by the final local-map pass (those also run a
+    shortened rounds x iters schedule, TrackingConfig.pose_*_mid)."""
     xyz, valid = _frame_point_data(store, obs)
     inv_s2 = 1.0 / store.level_sigma2(feats.level)
     Tcw, inlier, n = pose_opt.optimize_pose(
         cam, Tcw0, xyz, feats.xy, inv_s2, valid,
-        u_right=feats.u_right, bf=bf, escape_valley=escape)
+        u_right=feats.u_right, bf=bf, escape_valley=escape,
+        rounds=rounds, iters_per_round=iters)
     obs_out = jnp.where(inlier, obs, NO_POINT)
     return Tcw, obs_out, n
 
@@ -849,7 +860,8 @@ class Tracker:
             if n_mm >= cfg.min_track_matches:
                 Tcw, obs, n = _pose_optimize(
                     self.store, self.cam, T_pred, feats, obs, self.cfg.bf,
-                    escape=False)
+                    escape=False, rounds=cfg.pose_rounds_mid,
+                    iters=cfg.pose_iters_mid)
                 if int(n) >= cfg.min_track_inliers:
                     self.Tcw, cur_obs, tracked = Tcw, obs, True
 
@@ -858,7 +870,8 @@ class Tracker:
             if int((obs >= 0).sum()) >= cfg.min_track_matches // 2:
                 Tcw, obs, n = _pose_optimize(
                     self.store, self.cam, self.Tcw, feats, obs, self.cfg.bf,
-                    escape=False)
+                    escape=False, rounds=cfg.pose_rounds_mid,
+                    iters=cfg.pose_iters_mid)
                 if int(n) >= cfg.min_track_inliers:
                     self.Tcw, cur_obs, tracked = Tcw, obs, True
 
