@@ -210,6 +210,7 @@ def scene_median_depth(store: MapStore, kf_id):
 
 
 @partial(jax.jit, static_argnames=("th",))
+@partial(jax.jit, static_argnames=("th",))
 def fuse_into_keyframe(store: MapStore, cam: Camera, kf_id, pt_ids, pt_ok,
                        th: float = 1.0):
     """Project candidate points into keyframe kf_id, match, and either add

@@ -163,9 +163,12 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
         if use_huber:
             w = w * huber_weight(chi2, delta_sq)
         w = jnp.where(active, w, 0.0)
-        # one fused panel [42, N] = H(36) | b(6), one reduce — no
-        # [N,3,6] tensors (see _pose_rows docstring); axis-0 stack keeps
-        # each column a contiguous [N] block
+        # 42 fused elementwise-column reductions = H(36) | b(6) — no
+        # [N,3,6] tensors (see _pose_rows docstring). Each column is
+        # REDUCED before stacking: stacking the [N] columns first
+        # materializes a [42, N] (or [13, 42, N] under the escape vmap)
+        # tensor whose concatenate alone cost 0.26 ms/LM-iteration on
+        # chip (xplane trace); per-column sums fuse into the column math.
         # w folded into the first factor (0 * huge stays 0, not NaN)
         wJp = [[w * j for j in r["Jp"]] for r in rows]
         cols = []
@@ -175,7 +178,7 @@ def _lm_rounds(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2, active,
                                 for wj, r in zip(wJp, rows)))
         for ai in range(6):
             cols.append(-sum(wj[ai] * r["r"] for wj, r in zip(wJp, rows)))
-        sums = jnp.stack(cols, axis=0).sum(-1)            # [42]
+        sums = jnp.stack([c.sum(-1) for c in cols], axis=0)  # [42]
         H = sums[:36].reshape(6, 6)
         b = sums[36:42]
         # Marquardt damping on the diagonal.
@@ -212,9 +215,9 @@ def _valley_escape(cam, Tcw, xyz_w, uvr, stereo_mask, bf, inv_sigma2,
     w = jnp.where(active, inv_sigma2, 0.0)
     wJp = [[w * j for j in r["Jp"]] for r in rows]
     H = jnp.stack(
-        [sum(wj[ai] * r["Jp"][bi] for wj, r in zip(wJp, rows))
+        [sum(wj[ai] * r["Jp"][bi] for wj, r in zip(wJp, rows)).sum(-1)
          for ai in range(6) for bi in range(6)], axis=0
-    ).sum(-1).reshape(6, 6) + 1e-6 * jnp.eye(6)
+    ).reshape(6, 6) + 1e-6 * jnp.eye(6)
     evals, evecs = jnp.linalg.eigh(H)
     # nudges along the THREE weakest eigendirections, two amplitudes each
     # (observed spurious minima sit along low-curvature directions, not

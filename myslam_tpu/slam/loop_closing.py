@@ -136,6 +136,26 @@ def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
     return idx2_new, ok | grown
 
 
+@partial(jax.jit, static_argnames=("th",))
+def _fuse_group(store: MapStore, cam: Camera, group_ids, loop_ids,
+                th: float = 4.0):
+    """SearchAndFuse over a padded group of keyframes as ONE device
+    program (src/LoopClosing.cc:588-614): scan fuse_into_keyframe over
+    group_ids (-1 = padding, skipped by cond). group_ids is padded to a
+    small power-of-two bucket so recompiles are rare."""
+
+    def body(st, g):
+        st2 = jax.lax.cond(
+            g >= 0,
+            lambda s: local_mapping.fuse_into_keyframe(
+                s, cam, jnp.maximum(g, 0), loop_ids, loop_ids >= 0, th=th),
+            lambda s: s, st)
+        return st2, None
+
+    store, _ = jax.lax.scan(body, store, group_ids)
+    return store
+
+
 @partial(jax.jit, static_argnames=("e_max",))
 def _essential_edges(kf_valid, kf_seq, kf_parent, W, Rw, tw, e_max: int):
     """Device-side essential-graph structural edges: SPANNING TREE
@@ -172,6 +192,7 @@ def _essential_edges(kf_valid, kf_seq, kf_parent, W, Rw, tw, e_max: int):
                 .at[iota, nxt].set(has_nxt))
 
     mask = cov | par_mask | seq_mask
+    n_total = jnp.sum(mask.astype(jnp.int32))
     val, idx = jax.lax.top_k(mask.reshape(K * K).astype(jnp.float32),
                              e_max)
     on = val > 0
@@ -183,8 +204,11 @@ def _essential_edges(kf_valid, kf_seq, kf_parent, W, Rw, tw, e_max: int):
     ti, tj = tw[ei], tw[ej]
     R_ji = jnp.einsum("eab,ecb->eac", Rj, Ri)
     t_ji = tj - jnp.einsum("eab,eb->ea", R_ji, ti)
+    # n_total lets the caller detect (and escalate past) the e_max cap —
+    # a dense map can exceed 6K strong-covisibility edges, and silently
+    # dropping them weakens exactly the loops that need the graph most
     return (ei.astype(jnp.int32), ej.astype(jnp.int32), on,
-            R_ji, t_ji)
+            R_ji, t_ji, n_total)
 
 
 class LoopCloser:
@@ -444,12 +468,14 @@ class LoopCloser:
             store = store.replace(
                 pt_xyz=store.pt_xyz.at[jnp.asarray(pt_ids)].set(new_xyz))
 
-        # write corrected SE3 poses for the group: T = [R | t/s]
+        # write corrected SE3 poses for the group in ONE transfer
+        # (T = [R | t/s]; per-keyframe .at[].set dispatches each cost a
+        # full host-device round trip on the tunnel)
+        kf_pose_np = np.asarray(store.kf_pose).copy()
         for g in group:
-            T = np.concatenate(
+            kf_pose_np[g] = np.concatenate(
                 [R_new[g], (t_new[g] / s_new[g])[:, None]], 1)
-            store = store.replace(
-                kf_pose=store.kf_pose.at[g].set(jnp.asarray(T)))
+        store = store.replace(kf_pose=jnp.asarray(kf_pose_np))
 
         # SearchAndFuse (src/LoopClosing.cc:588-614): project the LOOP
         # NEIGHBORHOOD's points (candidate + its covisible group) into
@@ -472,9 +498,15 @@ class LoopCloser:
         pad = np.full(max(0, cap - len(loop_ids_np)), -1, np.int64)
         loop_ids = jnp.asarray(
             np.concatenate([loop_ids_np[:cap], pad]).astype(np.int32))
-        for g in sorted(group):
-            store = local_mapping.fuse_into_keyframe(
-                store, cam, int(g), loop_ids, loop_ids >= 0, th=4.0)
+        # ONE device program for the whole group fuse: a per-keyframe
+        # Python loop costs ~6 dispatches x group size on the ~41 ms
+        # tunnel (measured 130-330 s chunk stalls when loop events fired)
+        bucket = 8
+        while bucket < len(group):
+            bucket *= 2
+        gpad = np.full(bucket, -1, np.int32)
+        gpad[:len(group)] = sorted(group)
+        store = _fuse_group(store, cam, jnp.asarray(gpad), loop_ids)
         fused_own = store.kf_obs[kf_id]
         store = map_store.refresh_point_stats(
             store, jnp.where(fused_own >= 0, fused_own, -1))
@@ -505,9 +537,16 @@ class LoopCloser:
         # device — the host O(K^2) loop version cost ~33k iterations at
         # K=256 plus one jnp compose round-trip per edge
         W = map_store.covisibility(store)
-        ei, ej, on, mRd, mtd = _essential_edges(
-            store.kf_valid, store.kf_seq, store.kf_parent, W,
-            jnp.asarray(Rw), jnp.asarray(tw), e_max=6 * K)
+        # no silent caps: escalate e_max until every structural edge fits
+        # (doubling keeps the number of compiled sizes logarithmic)
+        e_max = min(6 * K, K * K)
+        while True:
+            ei, ej, on, mRd, mtd, n_tot = _essential_edges(
+                store.kf_valid, store.kf_seq, store.kf_parent, W,
+                jnp.asarray(Rw), jnp.asarray(tw), e_max=e_max)
+            if int(n_tot) <= e_max or e_max >= K * K:
+                break
+            e_max = min(2 * e_max, K * K)
         msd = jnp.ones(ei.shape[0], jnp.float32)
 
         def rel_measure(i, j, Ri, ti, si, Rj, tj, sj):
