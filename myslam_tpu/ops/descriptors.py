@@ -83,27 +83,36 @@ def orb_descriptors_from_patches(patches, angle, valid):
     """patches [N, 43, 43] f32 (blurred level image), angle [N] radians,
     valid [N] -> desc [N, 8] uint32."""
     n = patches.shape[0]
-    flat = patches.reshape(n, PATCH_S * PATCH_S)
-
-    # per-bin pattern selection: Sel[b, s, k] one-hot via iota compare
-    kk = jax.lax.broadcasted_iota(jnp.int32, (ANGLE_BINS, 2 * N_BITS,
-                                              PATCH_S * PATCH_S), 2)
-    Sel = (kk == _BIN_IDX[:, :, None]).astype(jnp.float32)
-    # all bins x all keypoints sampling: [B, N, 512]
-    # bf16 single-pass (see ops/patches.py): one-hot selectors are exact
-    # and the data is intensity-scale
-    V = jnp.einsum("nk,bsk->bns", flat, Sel,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.DEFAULT)
 
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * ANGLE_BINS)
     bins = jnp.mod(bins, ANGLE_BINS).astype(jnp.int32)
-    oh = (bins[:, None] == jax.lax.broadcasted_iota(
+
+    # Per-keypoint sampling, factored hi/lo. The earlier all-bins form
+    # (sample every keypoint under every bin, then select the bin) cost
+    # 64x the needed work — ~420 GFLOP and a [64,512,B,N] layout at
+    # level 0 of a 16-frame chunk, ~25 ms of the traced extraction. Here:
+    # one [N,64]@[64,512] one-hot lookup of each keypoint's OWN index
+    # row (exact in f32: indices < 1849 << 2^24), then row/col one-hot
+    # contractions against the [43,43] patch — ~0.4 GFLOP.
+    oh_bins = (bins[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (n, ANGLE_BINS), 1)).astype(jnp.float32)
-    Vn = jnp.einsum("bns,nb->ns", V, oh,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)   # [N, 512]
+    idx = jnp.dot(oh_bins, _BIN_IDX.astype(jnp.float32),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    idx = idx.astype(jnp.int32)                            # [N, 512]
+    hi = idx // PATCH_S                                    # patch row
+    lo = idx - hi * PATCH_S                                # patch col
+    rr = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * N_BITS, PATCH_S), 2)
+    # bf16 single-pass (see ops/patches.py): one-hot selectors are exact
+    # and the data is intensity-scale; each sum has exactly one non-zero
+    # term, so the result matches the all-bins form bit for bit
+    oh_hi = (rr == hi[:, :, None]).astype(jnp.float32)     # [N, 512, 43]
+    tmp = jnp.einsum("nsr,nrc->nsc", oh_hi, patches,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.DEFAULT)
+    oh_lo = (rr == lo[:, :, None]).astype(jnp.float32)
+    Vn = jnp.sum(tmp * oh_lo, axis=-1)                     # [N, 512]
 
     bits = (Vn[:, :N_BITS] < Vn[:, N_BITS:]).astype(jnp.float32)  # [N, 256]
     lanes = bits.reshape(n, 8, 32)

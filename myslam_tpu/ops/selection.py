@@ -62,7 +62,21 @@ def select_uniform(score, n_out: int, high_th: float = 20.0,
     key = jnp.where(cells > 0.0,
                     cells + (cells > high_th) * strong_bonus,
                     -jnp.inf)
-    topv, topi = jax.lax.top_k(key, cell_topk)  # [C, k]
+    # per-cell top-k by unrolled max-extraction: lax.top_k lowers to a
+    # full per-cell SORT ([B, C, cell_px] sorts cost ~8 ms per 16-frame
+    # chunk in the traced extraction); k is tiny, so k rounds of
+    # (max, argmax, mask) are a handful of fused reduces instead
+    C_cells, cell_px = key.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    tv, ti, k_work = [], [], key
+    for _ in range(cell_topk):
+        v = jnp.max(k_work, axis=1)
+        i = jnp.argmax(k_work, axis=1).astype(jnp.int32)
+        tv.append(v)
+        ti.append(i)
+        k_work = jnp.where(col == i[:, None], -jnp.inf, k_work)
+    topv = jnp.stack(tv, axis=1)                # [C, k]
+    topi = jnp.stack(ti, axis=1)
 
     C = gy * gx
     cell_ids = jnp.arange(C)

@@ -46,6 +46,11 @@ from .tracking import (OK, LOST, TrackingConfig,
 # unconditional metric evaluation per frame — for tools/kf_rate.py only.
 import os as _os
 _DEBUG_KF = _os.environ.get("MYSLAM_DEBUG_KF", "") == "1"
+# profiling knob: compile the step WITHOUT the keyframe-insertion cond
+# (tools/chunk_breakdown.py uses it to price the cond's pass-through
+# copies — a cond must materialize its operands/results even when the
+# branch is not taken)
+_NO_KF_BRANCH = _os.environ.get("MYSLAM_NO_KF_BRANCH", "") == "1"
 
 
 @struct.dataclass
@@ -538,10 +543,14 @@ class FusedTracker:
                 need_kf = jax.lax.cond(
                     pre_ok, kf_metrics, lambda _: jnp.asarray(False), None)
 
-            store2, kf_id, B2, W2 = jax.lax.cond(
-                need_kf, insert_keyframe,
-                lambda args: (args[0], state.ref_kf, state.B, state.W),
-                (store, Tcw, feats, cur_obs, frame_id, timestamp))
+            if _NO_KF_BRANCH:
+                store2, kf_id, B2, W2 = store, state.ref_kf, state.B, state.W
+                need_kf = jnp.asarray(False)
+            else:
+                store2, kf_id, B2, W2 = jax.lax.cond(
+                    need_kf, insert_keyframe,
+                    lambda args: (args[0], state.ref_kf, state.B, state.W),
+                    (store, Tcw, feats, cur_obs, frame_id, timestamp))
             # after insertion the keyframe row is authoritative (map
             # surgery may have remapped point slots)
             cur_obs = jnp.where(need_kf, store2.kf_obs[kf_id], cur_obs)

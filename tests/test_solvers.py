@@ -146,6 +146,29 @@ class TestPnP:
         assert inl[out_sel].mean() < 0.2
         assert int(res.n_inliers) > 0.9 * (n - len(out_sel))
 
+    def test_high_outlier_reloc_regime(self):
+        """Relocalization regime (the reference's 4-point EPnP RANSAC
+        target, src/PnPsolver.cc:121-258): 50% outliers must still
+        recover the pose reliably. With the 6-point DLT minimal set the
+        default hypothesis batch (512) gives P(>=1 clean set) > 0.999
+        at eps=0.5 — success across seeds, not just one lucky draw."""
+        xyz, uv, R_gt, t_gt, out_sel = self._problem(outlier_frac=0.5)
+        n = xyz.shape[0]
+        successes = 0
+        for seed in range(5):
+            res = pnp.solve_pnp(
+                CAM, xyz, uv, jnp.ones(n), jnp.ones(n, bool),
+                jax.random.PRNGKey(seed))
+            if not bool(res.ok):
+                continue
+            R = np.asarray(se3.rotation(res.Tcw))
+            t = np.asarray(se3.translation(res.Tcw))
+            ang = np.degrees(np.arccos(np.clip(
+                (np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+            if ang < 0.5 and np.linalg.norm(t - t_gt) < 0.05:
+                successes += 1
+        assert successes == 5, successes
+
     def test_degenerate_all_outliers(self):
         n = 64
         xyz = jnp.asarray(RNG.uniform(-3, 3, (n, 3)).astype(np.float32)
