@@ -105,7 +105,7 @@ def train_vocabulary(descriptors, valid=None, n_words: int = 2048,
     return Vocabulary(words=cents, idf=idf)
 
 
-def load_dbow2_text(path: str, depth: int = 2,
+def load_dbow2_text(path: str, depth: int = 3,
                     max_words: int = 65536) -> Vocabulary:
     """Import a DBoW2 text vocabulary (the format the reference loads at
     startup: ORBVocabulary::loadFromTextFile,
@@ -120,6 +120,12 @@ def load_dbow2_text(path: str, depth: int = 2,
     descriptors become the words (a coarser cut of the SAME tree —
     exactly what descending only `depth` levels in DBoW2 would produce).
     Node weights below each cut node accumulate into its idf weight.
+
+    Default depth 3 = ~k^3 (1000 for the shipped k=10 vocab) words: the
+    dense [K, words] database rows stay cheap (the sharded database,
+    parallel/loop_search.py, absorbs the width at scale), while a depth-2
+    cut (~100 words) measurably saturates revisit/non-revisit separation
+    on sequences past a few hundred keyframes.
     """
     parents, leaves, descs, weights = [], [], [], []
     with open(path) as f:
