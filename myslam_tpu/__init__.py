@@ -38,3 +38,18 @@ import jax as _jax
 if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
     _jax.config.update("jax_default_matmul_precision", "high")
 # (kf_rate.py A/Bs; set JAX_DEFAULT_MATMUL_PRECISION to experiment)
+
+# Persistent compilation cache: the rare-event programs (loop closing's
+# pose graph, group fuse, GBA, vocabulary retrains) each cost a 20-60 s
+# compile on the tunnel-attached TPU; with the cache they compile once
+# per machine, not once per process. Opt out with
+# MYSLAM_NO_COMPILE_CACHE=1 (e.g. to measure cold-start).
+if (not _os.environ.get("MYSLAM_NO_COMPILE_CACHE")
+        and _jax.config.jax_compilation_cache_dir is None):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

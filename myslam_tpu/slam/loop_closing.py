@@ -136,6 +136,24 @@ def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
     return idx2_new, ok | grown
 
 
+@jax.jit
+def _merge_refined_points(store_now: MapStore, refined: MapStore, same_pt,
+                          P_corr, delta):
+    """Device half of finish_pending_gba: snapshot points take refined
+    positions; points created during the GBA move with their reference
+    keyframe's correction delta (x' = T_corr^-1 o T_now o x). Poses are
+    snapped back onto SO(3) (see geom/se3.renormalize)."""
+    K = store_now.kf_cap
+    xyz = jnp.where(same_pt[:, None], refined.pt_xyz, store_now.pt_xyz)
+    ref = jnp.clip(store_now.pt_ref_kf, 0, K - 1)
+    D = indexing.mm_gather(delta.reshape(K, 12), ref).reshape(-1, 3, 4)
+    moved = se3.transform(D, store_now.pt_xyz)
+    new_pt = store_now.pt_valid & ~same_pt
+    xyz = jnp.where(new_pt[:, None], moved, xyz)
+    return store_now.replace(
+        pt_xyz=xyz, kf_pose=se3.renormalize(P_corr))
+
+
 @partial(jax.jit, static_argnames=("th",))
 def _fuse_group(store: MapStore, cam: Camera, group_ids, loop_ids,
                 th: float = 4.0):
@@ -217,7 +235,7 @@ class LoopCloser:
     def __init__(self, cam: Camera, vocab: vocabulary.Vocabulary,
                  kf_cap: int, consistency_th: int = 3,
                  cooldown_kfs: int = 10, fix_scale: bool = False,
-                 bf: float = 0.0, mesh=None):
+                 bf: float = 0.0, mesh=None, async_gba: bool = False):
         self.cam = cam
         self.vocab = vocab
         # with a mesh, the [K, words] database rows shard across devices
@@ -244,6 +262,15 @@ class LoopCloser:
         self.bf = float(bf)
         # optional device mesh: global BA shards its edges across it
         self.mesh = mesh
+        # async GBA (reference: GBA on its own thread, LoopClosing.cc:580,
+        # 646-750): correct() dispatches the whole-map BA as a device
+        # program WITHOUT blocking on it and returns the pose-graph-
+        # corrected map immediately; the refined map is merged in at the
+        # next keyframe event (Tracker calls finish_pending_gba), with
+        # keyframes/points created meanwhile re-anchored through their
+        # parents/reference keyframes.
+        self.async_gba = bool(async_gba)
+        self.pending_gba = None   # (snapshot_store, refined_store)
         self.rng = jax.random.PRNGKey(1)
 
     def _next_key(self):
@@ -515,12 +542,82 @@ class LoopCloser:
         store = self._optimize_essential_graph(
             store, kf_id, cand, (R_new, t_new, s_new), (Rw, tw, sw), group)
 
-        # --- global BA (src/LoopClosing.cc:580, synchronous) ---
-        store = self._global_ba(store, cam)
+        # --- global BA (src/LoopClosing.cc:580) ---
+        if self.async_gba:
+            # a newer loop supersedes any still-pending refinement (the
+            # reference aborts the running GBA, LoopClosing.cc:577-583)
+            self.pending_gba = None
+            refined = self._global_ba(store, cam)
+            if refined is not store:
+                # async dispatch: tracking continues on the pose-graph-
+                # corrected map; merged at the next keyframe event
+                self.pending_gba = (store, refined)
+        else:
+            store = self._global_ba(store, cam)
 
         self.state.loop_edges.append((kf_id, cand))
         self.state.last_loop_kf = int(store.kf_seq[kf_id])
         return store
+
+    # ------------------------------------------------------------------
+    def finish_pending_gba(self, store_now: MapStore) -> MapStore:
+        """Merge a completed async global BA into the CURRENT map (the
+        reference's post-GBA correction propagation,
+        src/LoopClosing.cc:646-750): keyframes that existed at the GBA
+        snapshot take their refined poses; keyframes inserted since are
+        re-anchored through their spanning-tree parents
+        (T_child * T_parent^-1 * T_parent_refined); points from the
+        snapshot take refined positions, newer points move with their
+        reference keyframe's correction. Blocks on the GBA result —
+        callers invoke this at a keyframe event, by which time the device
+        program has almost always drained."""
+        if self.pending_gba is None:
+            return store_now
+        snap, refined = self.pending_gba
+        self.pending_gba = None
+        K = store_now.kf_cap
+
+        kv_snap = np.asarray(snap.kf_valid)
+        kv_now = np.asarray(store_now.kf_valid)
+        seq_snap = np.asarray(snap.kf_seq)
+        seq_now = np.asarray(store_now.kf_seq)
+        same_kf = kv_snap & kv_now & (seq_snap == seq_now)
+        parent = np.asarray(store_now.kf_parent)
+        P_now = np.asarray(store_now.kf_pose)
+        P_ref = np.asarray(refined.kf_pose)
+
+        def comp(Ta, Tb):
+            R = Ta[:3, :3] @ Tb[:3, :3]
+            t = Ta[:3, :3] @ Tb[:3, 3] + Ta[:3, 3]
+            return np.concatenate([R, t[:, None]], 1)
+
+        def inv(T):
+            Rt = T[:3, :3].T
+            return np.concatenate([Rt, (-Rt @ T[:3, 3])[:, None]], 1)
+
+        P_corr = P_now.copy()
+        P_corr[same_kf] = P_ref[same_kf]
+        for k in np.nonzero(kv_now & ~same_kf)[0]:
+            a, hops = int(parent[k]), 0
+            while a >= 0 and not same_kf[a] and hops < K:
+                a, hops = int(parent[a]), hops + 1
+            if a >= 0 and same_kf[a]:
+                P_corr[k] = comp(comp(P_now[k], inv(P_now[a])), P_ref[a])
+            # else: no refined ancestor (disconnected) — keep as tracked
+
+        # per-slot delta T_corr^-1 o T_now moves everything anchored to
+        # that keyframe from the tracked frame into the refined frame
+        delta = np.stack([comp(inv(P_corr[k]), P_now[k]) if kv_now[k]
+                          else np.eye(3, 4, dtype=np.float32)
+                          for k in range(K)]).astype(np.float32)
+
+        pf_snap = np.asarray(snap.pt_first_kf)
+        pf_now = np.asarray(store_now.pt_first_kf)
+        same_pt = (np.asarray(snap.pt_valid) & np.asarray(store_now.pt_valid)
+                   & (pf_snap == pf_now))
+        return _merge_refined_points(
+            store_now, refined, jnp.asarray(same_pt),
+            jnp.asarray(P_corr), jnp.asarray(delta))
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, store: MapStore, kf_id, cand,

@@ -100,6 +100,12 @@ class TrackingConfig:
     # 0 disables. Ignored when vocab_path is set.
     vocab_retrain_every: int = 16
     vocab_words_max: int = 4096
+    # asynchronous global BA after loop closure (the reference runs GBA
+    # on its own thread and merges when done, src/LoopClosing.cc:580,
+    # 646-750): the loop event returns after the pose-graph solve and the
+    # whole-map BA result is merged at the NEXT keyframe event, with
+    # interim keyframes/points re-anchored. False = fully synchronous.
+    async_gba: bool = True
     # OK-state fast path: run the whole per-frame step as ONE device
     # program (slam/fused.py) — one host sync per frame instead of ~8.
     use_fused: bool = True
@@ -547,6 +553,10 @@ class Tracker:
         Tcw_now = (Tcw_raw o T_ref_raw^-1) o T_ref_now, chaining through
         culled-keyframe breadcrumbs (System::SaveTrajectoryTUM,
         src/System.cc:323-409). Returns [(frame_id, timestamp, Tcw)]."""
+        # a run can end between keyframe events: land any still-pending
+        # async global BA so the saved trajectory sees the refined map
+        if self.loop_closer is not None:
+            self.store = self.loop_closer.finish_pending_gba(self.store)
         store = self.store
         seqs = np.asarray(store.kf_seq)
         valid = np.asarray(store.kf_valid)
@@ -806,7 +816,8 @@ class Tracker:
         self.loop_closer = LoopCloser(self.cam, vocab, self.cfg.kf_cap,
                                       fix_scale=self.cfg.sensor != 0,
                                       bf=self.cfg.bf,
-                                      mesh=self.mesh)
+                                      mesh=self.mesh,
+                                      async_gba=self.cfg.async_gba)
         self._kf_since_retrain = 0
         for k in kf_ids:
             self.loop_closer.add_keyframe_bow(store, k)
@@ -829,10 +840,22 @@ class Tracker:
 
         store = self.store
         kf_ids = np.nonzero(np.asarray(store.kf_valid))[0]
-        descs = store.kf_desc[kf_ids].reshape(-1, store.kf_desc.shape[-1])
-        valid = store.kf_fvalid[kf_ids].reshape(-1)
+        # pad the keyframe set to a power of two (invalid rows masked):
+        # the training-set SHAPE is baked into the compiled program, and
+        # an unbucketed shape means a fresh 20-40 s compile per retrain
+        n_pad = 1 << (max(len(kf_ids), 1) - 1).bit_length()
+        ids_pad = np.zeros(n_pad, np.int64)
+        ids_pad[:len(kf_ids)] = kf_ids
+        on = jnp.asarray(np.arange(n_pad) < len(kf_ids))
+        descs = store.kf_desc[ids_pad].reshape(-1, store.kf_desc.shape[-1])
+        valid = (store.kf_fvalid[ids_pad] & on[:, None]).reshape(-1)
         n_words = int(min(cfg.vocab_words_max,
                           max(cfg.vocab_words, 64 * len(kf_ids))))
+        # snap to the next power of two: every distinct n_words is a
+        # fresh XLA program (20-40 s compile on the tunnel TPU); powers
+        # of two bound the set to a handful, all compile-cache hits
+        n_words = 1 << (n_words - 1).bit_length()
+        n_words = int(min(cfg.vocab_words_max, n_words))
         vocab = vocabulary.train_vocabulary(
             descs, valid, n_words=n_words, iters=4)
         self.loop_closer.rebuild_vocabulary(store, vocab, kf_ids)
@@ -1048,6 +1071,11 @@ class Tracker:
         fused fast path: capacity-pressure keyframe culling and the
         loop-closing pass. Mutates self.store / self.loop_closer /
         self.velocity / self.n_kf."""
+        # merge a completed async global BA FIRST: culling/loop detection
+        # must see the refined geometry (reference merge point:
+        # LoopClosing::RunGlobalBundleAdjustment, src/LoopClosing.cc:646)
+        if self.loop_closer is not None:
+            self.store = self.loop_closer.finish_pending_gba(self.store)
         store = self.store
         # KeyFrameCulling — two policies (cfg.kf_culling):
         # "pressure": the redundancy rule (src/LocalMapping.cc:634) exists

@@ -211,6 +211,93 @@ class TestLoopPipeline:
         assert len(closer.state.loop_edges) == 1
 
 
+class TestAsyncGBA:
+    """Async global BA (reference: GBA on its own thread with post-hoc
+    correction propagation, src/LoopClosing.cc:580,646-750): correct()
+    must return without the GBA applied, tracking-era keyframes/points
+    added meanwhile must be re-anchored at merge time, and the merged
+    result must match the synchronous solve on the snapshot slots."""
+
+    def _closer(self, store, desc, async_gba):
+        voc = vocabulary.train_vocabulary(
+            jnp.asarray(desc[:2000]), n_words=1024, iters=5)
+        lc = LoopCloser(CAM, voc, kf_cap=store.kf_cap, cooldown_kfs=0,
+                        async_gba=async_gba)
+        for k in range(12):
+            lc.add_keyframe_bow(store, k)
+        return lc
+
+    def test_async_matches_sync_and_reanchors(self, drifted_world):
+        store, kf_gt, desc = drifted_world
+
+        lc_sync = self._closer(store, desc, async_gba=False)
+        S = lc_sync.compute_sim3(store, 11, 0)
+        assert S is not None
+        st_sync = lc_sync.correct(store, CAM, 11, 0, S)
+
+        lc_async = self._closer(store, desc, async_gba=True)
+        S2 = lc_async.compute_sim3(store, 11, 0)
+        st_mid = lc_async.correct(store, CAM, 11, 0, S2)
+        assert lc_async.pending_gba is not None
+
+        # "tracking continues": insert a keyframe relative to KF 11 and a
+        # few new points anchored to it before the GBA lands
+        T_rel = se3.make(jnp.eye(3), jnp.asarray([0.05, 0.0, 0.02]))
+        T_new = se3.compose(T_rel, st_mid.kf_pose[11])
+        obs = jnp.full(st_mid.feat_cap, -1, jnp.int32)
+        from myslam_tpu.features.frame import FrameFeatures as FF
+        nf = st_mid.feat_cap
+        feats = FF(xy=jnp.zeros((nf, 2)), xy_raw=jnp.zeros((nf, 2)),
+                   level=jnp.zeros(nf, jnp.int32),
+                   angle=jnp.zeros(nf, jnp.float32),
+                   response=jnp.zeros(nf, jnp.float32),
+                   desc=jnp.zeros((nf, 8), jnp.uint32),
+                   valid=jnp.zeros(nf, bool))
+        st_mid2, new_kf = map_store.add_keyframe(
+            st_mid, T_new, feats, obs, jnp.int32(500), jnp.float32(50.0))
+        st_mid2 = map_store.set_parent(st_mid2, new_kf, jnp.int32(11))
+        want = jnp.zeros(st_mid2.pt_cap, bool).at[
+            jnp.arange(4000, 4008)].set(True) & ~st_mid2.pt_valid
+        slots = map_store.allocate_points(st_mid2, want)
+        pts_w = jnp.asarray(
+            np.tile(np.array([[0.3, 0.1, 1.5]], np.float32), (want.shape[0], 1)))
+        st_mid2 = map_store.write_points(
+            st_mid2, slots, xyz=pts_w,
+            desc=jnp.zeros((want.shape[0], 8), jnp.uint32),
+            normal=jnp.zeros((want.shape[0], 3)),
+            min_dist=jnp.zeros(want.shape[0]),
+            max_dist=jnp.ones(want.shape[0]),
+            ref_kf=jnp.full(want.shape[0], int(new_kf), jnp.int32),
+            ref_level=jnp.zeros(want.shape[0], jnp.int32),
+            first_kf=jnp.full(want.shape[0], 500, jnp.int32))
+        new_slots = np.asarray(slots)
+        new_slots = new_slots[new_slots >= 0]
+        assert len(new_slots) > 0
+        T_new_before = np.asarray(st_mid2.kf_pose[new_kf])
+        p_before = np.asarray(st_mid2.pt_xyz)[new_slots]
+
+        merged = lc_async.finish_pending_gba(st_mid2)
+        assert lc_async.pending_gba is None
+
+        # snapshot keyframes: pose == synchronous GBA result
+        dp = np.abs(np.asarray(merged.kf_pose[:12])
+                    - np.asarray(st_sync.kf_pose[:12]))
+        assert float(dp.max()) < 1e-4, float(dp.max())
+
+        # the interim keyframe kept its RELATIVE pose to its parent
+        rel_after = np.asarray(se3.compose(
+            merged.kf_pose[new_kf], se3.inverse(merged.kf_pose[11])))
+        assert np.abs(rel_after - np.asarray(T_rel)).max() < 1e-4
+
+        # interim points moved by exactly their ref keyframe's correction
+        # (camera-frame coordinates preserved)
+        cam_before = np.asarray(se3.transform(
+            jnp.asarray(T_new_before), jnp.asarray(p_before)))
+        cam_after = np.asarray(se3.transform(
+            merged.kf_pose[new_kf], merged.pt_xyz[new_slots]))
+        assert np.abs(cam_before - cam_after).max() < 1e-4
+
+
 class TestSpanningTreeAfterCulling:
     """VERDICT-round-2 gap: the essential graph must keep its spanning
     tree valid after keyframe culling re-parents children
