@@ -353,3 +353,86 @@ class Rendered3DScene:
         return (os.path.join(out_dir, "mav0", "cam0"),
                 os.path.join(out_dir, "mav0", "cam1"),
                 os.path.join(out_dir, "times.txt"))
+
+
+class DynamicSpriteScene:
+    """Rendered3DScene plus MOVING textured sprites with ground-truth
+    boxes — the rendered stand-in for BASELINE config 4 (TUM fr3_walking
+    with YOLO gating; reference capability surface yolo.cpp:129-194).
+
+    Each sprite is a feathered, band-limited-textured square translating
+    across the image independently of the camera — exactly the geometry
+    violation a walking person causes: its ORB features are stable and
+    matchable frame-to-frame but inconsistent with the static world, so
+    an ungated tracker triangulates and tracks them as (moving) map
+    points. `boxes(i)` returns oracle detections in the semantic
+    filter's format, standing in for the YOLO detector (the detector is
+    validated separately against darknet weights, tests/test_yolo.py;
+    renders are out of its training domain)."""
+
+    def __init__(self, n_sprites: int = 3, sprite_size: int = 96,
+                 sprite_speed: float = 4.0, seed: int = 11, **scene_kw):
+        self.base = Rendered3DScene(**scene_kw)
+        self.width, self.height = self.base.width, self.base.height
+        self.t_loop = self.base.t_loop
+        rng = np.random.default_rng(seed)
+        from ..ops import image as img_ops
+        import jax.numpy as _jnp
+        S = sprite_size
+        yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+        r = np.maximum(np.abs(xx - S / 2), np.abs(yy - S / 2)) / (S / 2)
+        feather = np.clip((0.95 - r) / 0.12, 0.0, 1.0)   # soft edge
+        self.sprites = []
+        for k in range(n_sprites):
+            acc = np.zeros((S, S), np.float32)
+            for sigma, w in [(1.2, 1.0), (3.0, 2.0)]:
+                n = rng.uniform(-1, 1, (S, S)).astype(np.float32)
+                acc += w * np.asarray(img_ops.gaussian_blur(
+                    _jnp.asarray(n), 13, sigma))
+            tex = (acc - acc.min()) / max(acc.max() - acc.min(), 1e-6) \
+                * 210.0 + 20.0
+            x0 = rng.uniform(0, self.width)
+            y0 = rng.uniform(0.15, 0.55) * self.height
+            vx = sprite_speed * rng.uniform(0.8, 1.3) * (1 if k % 2 else -1)
+            vy = sprite_speed * rng.uniform(-0.15, 0.15)
+            self.sprites.append((tex, feather, x0, y0, vx, vy))
+        self.S = S
+
+    def _sprite_pos(self, sp, i):
+        tex, feather, x0, y0, vx, vy = sp
+        span_x = self.width + 2 * self.S
+        x = (x0 + vx * i) % span_x - self.S
+        y = np.clip(y0 + vy * i, -self.S // 2,
+                    self.height - self.S // 2)
+        return int(round(x)), int(round(y))
+
+    def gt_center(self, i: int):
+        return self.base.gt_center(i)
+
+    def frame(self, i: int) -> np.ndarray:
+        img = self.base.frame(i).copy()
+        H, W = img.shape
+        for sp in self.sprites:
+            tex, feather = sp[0], sp[1]
+            x, y = self._sprite_pos(sp, i)
+            xs0, ys0 = max(x, 0), max(y, 0)
+            xs1, ys1 = min(x + self.S, W), min(y + self.S, H)
+            if xs1 <= xs0 or ys1 <= ys0:
+                continue
+            tx0, ty0 = xs0 - x, ys0 - y
+            t = tex[ty0:ty0 + ys1 - ys0, tx0:tx0 + xs1 - xs0]
+            a = feather[ty0:ty0 + ys1 - ys0, tx0:tx0 + xs1 - xs0]
+            img[ys0:ys1, xs0:xs1] = (1 - a) * img[ys0:ys1, xs0:xs1] + a * t
+        return img
+
+    def boxes(self, i: int, margin: int = 6):
+        """Oracle detections for frame i in the semantic det format."""
+        out = []
+        for sp in self.sprites:
+            x, y = self._sprite_pos(sp, i)
+            out.append({"class_id": 14, "class_name": "person",
+                        "score": 0.95,
+                        "box": (float(x - margin), float(y - margin),
+                                float(self.S + 2 * margin),
+                                float(self.S + 2 * margin))})
+        return out

@@ -25,6 +25,28 @@ def det(cls, x, y, w, h, score=0.9):
             "box": (x, y, w, h)}
 
 
+class TestDynamicObjectGating:
+    """End-to-end config-4 proxy (BASELINE: TUM fr3_walking + YOLO
+    gating): on a rendered orbit with moving textured sprites, gating
+    features/points inside the (oracle) dynamic boxes must keep the
+    trajectory accurate while the ungated run degrades. Full-size
+    artifact numbers: tools/semantic_bench.py -> SEMANTIC_BENCH.json."""
+
+    def test_gating_protects_ate(self):
+        import tools.semantic_bench as sb
+
+        scene = synthetic.DynamicSpriteScene(
+            n_sprites=3, sprite_size=80, sprite_speed=4.0,
+            width=512, height=384, t_loop=150, n_points=12000)
+        ate_g, n_g = sb.run_mode(scene, gated=True, n_frames=48)
+        ate_u, n_u = sb.run_mode(scene, gated=False, n_frames=48)
+        assert n_g > 40, n_g
+        # gated tracking stays accurate despite 3 moving objects
+        assert ate_g < 0.03, (ate_g, ate_u)
+        # and measurably better than ungated (the fusion claim)
+        assert ate_u > ate_g, (ate_g, ate_u)
+
+
 class TestFeatureMasking:
     def test_inside_box_masked(self):
         feats = make_feats([[100, 100], [300, 300], [105, 95]])
