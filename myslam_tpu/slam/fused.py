@@ -151,16 +151,22 @@ class FusedTracker:
         tracker.store = state.store
         tracker.Tcw = state.Tcw
         tracker._last_Tcw = state.Tcw
-        hv = bool(state.has_velocity)
-        tracker.velocity = state.velocity if hv else None
+        # ONE batched device_get for all host-side scalars: each separate
+        # int()/bool() coercion is its own ~41 ms round trip on the
+        # tunnel, and write_back runs at every keyframe event
+        hv, ref_kf, last_kf_frame, frame_id, n_kf, lost = jax.device_get(
+            (state.has_velocity, state.ref_kf, state.last_kf_frame,
+             state.frame_id, jnp.sum(state.store.kf_valid.astype(jnp.int32)),
+             state.lost))
+        tracker.velocity = state.velocity if bool(hv) else None
         tracker.last_obs = state.last_obs
         if last_feats is not None:
             tracker.last_feats = last_feats
-        tracker.ref_kf = int(state.ref_kf)
-        tracker.last_kf_frame = int(state.last_kf_frame)
-        tracker.frame_id = int(state.frame_id)
-        tracker.n_kf = int(state.store.kf_valid.sum())
-        tracker.state = LOST if bool(state.lost) else OK
+        tracker.ref_kf = int(ref_kf)
+        tracker.last_kf_frame = int(last_kf_frame)
+        tracker.frame_id = int(frame_id)
+        tracker.n_kf = int(n_kf)
+        tracker.state = LOST if bool(lost) else OK
 
     def step(self, state, feats, timestamp, frame_id=None):
         """One frame. frame_id is the REAL host frame id (sequences with

@@ -137,6 +137,22 @@ def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
 
 
 @jax.jit
+def _kf_event_device_pass(vocab: vocabulary.Vocabulary,
+                          db: vocabulary.KeyFrameDatabase,
+                          store: MapStore, kf_id):
+    """Everything the per-keyframe loop-closing event needs from the
+    device, as ONE program: BoW encode + database add + all-rows query +
+    covisibility. Split calls cost one ~41 ms tunnel round trip EACH."""
+    fvalid = store.kf_fvalid[kf_id]
+    words = vocabulary.assign_words(vocab, store.kf_desc[kf_id], fvalid)
+    vec = vocabulary.bow_vector(vocab, words, fvalid)
+    db2 = db.add(kf_id, vec)
+    scores, common = vocabulary.query_database(db2, vec)
+    W = map_store.covisibility(store)
+    return db2, vec, scores, common, W
+
+
+@jax.jit
 def _merge_refined_points(store_now: MapStore, refined: MapStore, same_pt,
                           P_corr, delta):
     """Device half of finish_pending_gba: snapshot points take refined
@@ -304,20 +320,46 @@ class LoopCloser:
         for k in kf_ids:
             self.add_keyframe_bow(store, int(k))
 
+    def add_and_detect(self, store: MapStore, kf_id: int):
+        """Per-keyframe database add + loop detection with MINIMAL
+        host-device round trips: one fused device pass (BoW encode, db
+        add, all-rows query, covisibility) + one device_get. The split
+        add_keyframe_bow/detect path costs ~8 dispatches on a ~41 ms
+        tunnel per keyframe event — this is the hot half of the full-
+        pipeline chunk time. Returns (vec, candidate_or_None)."""
+        if self.mesh is not None:
+            vec = self.add_keyframe_bow(store, kf_id)
+            return vec, self.detect(store, kf_id, vec)
+        db2, vec, scores, common, W = _kf_event_device_pass(
+            self.vocab, self.db, store, jnp.int32(kf_id))
+        self.db = db2
+        scores, common, W, seqs = jax.device_get(
+            (scores, common, W, store.kf_seq))
+        cand = self._detect_host(store, kf_id, np.asarray(scores).copy(),
+                                 np.asarray(common).copy(),
+                                 np.asarray(W), np.asarray(seqs))
+        return vec, cand
+
     def detect(self, store: MapStore, kf_id: int, vec) -> Optional[int]:
         """DetectLoop (src/LoopClosing.cc:104-230). Returns a consistent
         candidate keyframe id or None."""
-        if int(store.kf_seq[kf_id]) < self.state.last_loop_kf + self.cooldown_kfs:
-            return None
-        W = map_store.covisibility(store)
-        cov_row = np.asarray(W[kf_id])
-        covisible = cov_row >= 15
-        cov_ids = np.nonzero(covisible)[0]
-
+        W = np.asarray(map_store.covisibility(store))
         scores, common = self.query_db(self.db, vec)
         # sharded databases pad the row axis to the mesh size
         scores = np.asarray(scores)[:store.kf_cap].copy()
         common = np.asarray(common)[:store.kf_cap].copy()
+        return self._detect_host(store, kf_id, scores, common, W,
+                                 np.asarray(store.kf_seq))
+
+    def _detect_host(self, store: MapStore, kf_id: int, scores, common,
+                     W, seqs) -> Optional[int]:
+        """Host half of DetectLoop: gating + the 3-consecutive-group
+        consistency check on already-fetched arrays."""
+        if int(seqs[kf_id]) < self.state.last_loop_kf + self.cooldown_kfs:
+            return None
+        cov_row = W[kf_id]
+        covisible = cov_row >= 15
+        cov_ids = np.nonzero(covisible)[0]
 
         # min reference score = lowest BoW score against covisible KFs
         min_score = min((scores[c] for c in cov_ids), default=0.3)
@@ -328,8 +370,7 @@ class LoopCloser:
         scores[cov_ids] = -1.0
         # also exclude temporally-recent keyframes (the reference excludes
         # covisible ones; with few KFs recency is the equivalent guard)
-        seqs = np.asarray(store.kf_seq)
-        recent = seqs > int(store.kf_seq[kf_id]) - 5
+        recent = seqs > int(seqs[kf_id]) - 5
         scores[recent] = -1.0
 
         max_common = common[scores > 0].max() if (scores > 0).any() else 0

@@ -448,7 +448,6 @@ class Tracker:
             self.velocity = None
         elif np.asarray(infos["new_kf"]).any():
             self._fused.write_back(st, self, last_feats=last_feats)
-            self.n_kf = int(np.asarray(st.store.kf_valid).sum())
             # run the host keyframe events for EVERY keyframe inserted
             # in this chunk, in insertion order — the loop/reloc
             # database must index them all (LocalMapping::Run processes
@@ -494,8 +493,7 @@ class Tracker:
             if last_feats is None:
                 last_feats = last_feats_fn()
             self._fused.write_back(st, self, last_feats=last_feats)
-            self.n_kf = int(np.asarray(st.store.kf_valid).sum())
-            ref = int(np.asarray(st.ref_kf))
+            ref = self.ref_kf  # write_back already pulled it
             store = self.store
             red = local_mapping.redundant_keyframes(store, ref)
             seqs = np.asarray(store.kf_seq)
@@ -623,8 +621,7 @@ class Tracker:
         if bool(info["new_kf"]):
             # mirror to host, run loop closing / culling, re-snapshot
             self._fused.write_back(st, self, last_feats=feats)
-            self.n_kf = int(st.store.kf_valid.sum())
-            kf_id = int(st.ref_kf)
+            kf_id = self.ref_kf  # write_back already pulled it
             self._post_keyframe_events(kf_id)
             self.Tcw = self.store.kf_pose[kf_id]
             self.last_obs = self.store.kf_obs[kf_id]
@@ -1112,8 +1109,7 @@ class Tracker:
             self._maybe_retrain_vocab()
             store = self.store
             lc = self.loop_closer
-            vec = lc.add_keyframe_bow(store, kf_id)
-            cand = lc.detect(store, kf_id, vec)
+            vec, cand = lc.add_and_detect(store, kf_id)
             if cand is not None:
                 S = lc.compute_sim3(store, kf_id, cand)
                 if S is not None:
