@@ -137,6 +137,28 @@ def _sim3_match_growth(cam: Camera, store: MapStore, kf1, kf2,
 
 
 @jax.jit
+def _rebuild_db_pass(vocab: vocabulary.Vocabulary, store: MapStore,
+                     ids_pad, on, kf_capacity_rows):
+    """Re-encode a padded batch of keyframes under a new vocabulary and
+    build the whole dense database in ONE device program (the per-KF
+    add_keyframe_bow loop costs ~4 dispatches x live keyframes on the
+    tunnel — seconds per vocabulary retrain)."""
+    def enc(k):
+        fv = store.kf_fvalid[k]
+        words = vocabulary.assign_words(vocab, store.kf_desc[k], fv)
+        return vocabulary.bow_vector(vocab, words, fv)
+
+    vecs = jax.vmap(enc)(jnp.clip(ids_pad, 0, store.kf_cap - 1))
+    vecs = vecs * on[:, None]
+    cap = kf_capacity_rows.shape[0]
+    dst = jnp.where(on, ids_pad, cap)
+    bow = jnp.zeros((cap, vecs.shape[1]), jnp.float32
+                    ).at[dst].set(vecs, mode="drop")
+    valid = jnp.zeros((cap,), bool).at[dst].set(on, mode="drop")
+    return vocabulary.KeyFrameDatabase(bow=bow, has=bow > 0.0, valid=valid)
+
+
+@jax.jit
 def _kf_event_device_pass(vocab: vocabulary.Vocabulary,
                           db: vocabulary.KeyFrameDatabase,
                           store: MapStore, kf_id):
@@ -309,16 +331,23 @@ class LoopCloser:
         re-encoding every live keyframe. Consistency groups reset — scores
         under the old words are not comparable to the new ones."""
         self.vocab = vocab
+        self.state.groups = []
         if self.mesh is not None:
             from ..parallel import loop_search
             self.db = loop_search.create_sharded_database(
                 self.kf_cap, vocab.words.shape[0], self.mesh)
-        else:
-            self.db = vocabulary.KeyFrameDatabase.create(
-                self.db.bow.shape[0], vocab.words.shape[0])
-        self.state.groups = []
-        for k in kf_ids:
-            self.add_keyframe_bow(store, int(k))
+            for k in kf_ids:
+                self.add_keyframe_bow(store, int(k))
+            return
+        # one device program for the whole rebuild (padded to a power of
+        # two so retrains reuse a handful of cached compilations)
+        cap = int(self.db.bow.shape[0])
+        n_pad = 1 << (max(len(kf_ids), 1) - 1).bit_length()
+        ids_pad = np.zeros(n_pad, np.int32)
+        ids_pad[:len(kf_ids)] = np.asarray(kf_ids, np.int32)
+        on = jnp.asarray(np.arange(n_pad) < len(kf_ids))
+        self.db = _rebuild_db_pass(vocab, store, jnp.asarray(ids_pad), on,
+                                   jnp.zeros(cap))
 
     def add_and_detect(self, store: MapStore, kf_id: int):
         """Per-keyframe database add + loop detection with MINIMAL
@@ -486,6 +515,18 @@ class LoopCloser:
                 S_cur_cand) -> MapStore:
         """CorrectLoop (src/LoopClosing.cc:403-586): Sim3 correction
         propagation + pose-graph optimization + global BA."""
+        import os as _os
+        import time as _time
+        import sys as _sys
+        _dbg = _os.environ.get("MYSLAM_LOOP_DEBUG", "") == "1"
+        _t0 = [_time.perf_counter()]
+
+        def _tick(label):
+            if _dbg:
+                t = _time.perf_counter()
+                print(f"# loop-correct {label}: {t - _t0[0]:.1f}s",
+                      file=_sys.stderr, flush=True)
+                _t0[0] = t
         R12, t12, s12 = S_cur_cand
         K = store.kf_cap
         kf_valid = np.asarray(store.kf_valid)
@@ -545,6 +586,7 @@ class LoopCloser:
                 [R_new[g], (t_new[g] / s_new[g])[:, None]], 1)
         store = store.replace(kf_pose=jnp.asarray(kf_pose_np))
 
+        _tick("propagate+write")
         # SearchAndFuse (src/LoopClosing.cc:588-614): project the LOOP
         # NEIGHBORHOOD's points (candidate + its covisible group) into
         # EVERY keyframe of the corrected group with the reference's wide
@@ -579,10 +621,12 @@ class LoopCloser:
         store = map_store.refresh_point_stats(
             store, jnp.where(fused_own >= 0, fused_own, -1))
 
+        _tick("group-fuse")
         # --- essential-graph optimization (src/LoopClosing.cc:568) ---
         store = self._optimize_essential_graph(
             store, kf_id, cand, (R_new, t_new, s_new), (Rw, tw, sw), group)
 
+        _tick("essential-graph")
         # --- global BA (src/LoopClosing.cc:580) ---
         if self.async_gba:
             # a newer loop supersedes any still-pending refinement (the
@@ -596,6 +640,7 @@ class LoopCloser:
         else:
             store = self._global_ba(store, cam)
 
+        _tick("global-ba-dispatch")
         self.state.loop_edges.append((kf_id, cand))
         self.state.last_loop_kf = int(store.kf_seq[kf_id])
         return store
