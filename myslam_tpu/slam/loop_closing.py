@@ -557,25 +557,29 @@ class LoopCloser:
             s_new[g] = sc
 
         # re-map the group's points with old/new Sim3 of their observing KF
-        # (src/LoopClosing.cc:476-510)
+        # (src/LoopClosing.cc:476-510). Full-arena STATIC shapes: slicing
+        # to the dynamic pt_ids count compiled a fresh ~10 s program per
+        # loop event (the count never repeats); one pull of kf_obs plus
+        # a masked whole-arena correction reuses one cached program.
         group_arr = np.array(sorted(group), np.int64)
+        kf_obs_np, pt_ref_np = jax.device_get(
+            (store.kf_obs, store.pt_ref_kf))
         pt_mask = np.zeros(store.pt_cap, bool)
         for g in group_arr:
-            o = np.asarray(store.kf_obs[g])
+            o = kf_obs_np[g]
             pt_mask[o[o >= 0]] = True
-        pt_ids = np.nonzero(pt_mask)[0]
-        if len(pt_ids):
+        if pt_mask.any():
             # use each point's OWN ref kf if in group else current kf
-            ref = np.asarray(store.pt_ref_kf)[pt_ids]
-            ref = np.where(np.isin(ref, group_arr), ref, kf_id)
+            ref = np.where(np.isin(pt_ref_np, group_arr)
+                           & (pt_ref_np >= 0), pt_ref_np, kf_id)
             S_old = (jnp.asarray(Rw), jnp.asarray(tw), jnp.asarray(sw))
             S_new = (jnp.asarray(R_new), jnp.asarray(t_new),
                      jnp.asarray(s_new))
             new_xyz = pose_graph.correct_points(
-                jnp.asarray(np.asarray(store.pt_xyz)[pt_ids]),
-                jnp.asarray(ref), S_old, S_new)
+                store.pt_xyz, jnp.asarray(ref), S_old, S_new)
             store = store.replace(
-                pt_xyz=store.pt_xyz.at[jnp.asarray(pt_ids)].set(new_xyz))
+                pt_xyz=jnp.where(jnp.asarray(pt_mask)[:, None], new_xyz,
+                                 store.pt_xyz))
 
         # write corrected SE3 poses for the group in ONE transfer
         # (T = [R | t/s]; per-keyframe .at[].set dispatches each cost a
@@ -594,11 +598,12 @@ class LoopCloser:
         # poses to the old structure — without enough cross-loop
         # associations the subsequent GBA cannot pull the smeared
         # pose-graph solution back onto the map.
-        Wc2 = np.asarray(map_store.covisibility(store))
-        loop_kfs = set(np.nonzero(Wc2[cand] >= 15)[0].tolist()) | {cand}
+        # covisibility rows are already in W (poses moved, observations
+        # did not); kf_obs_np was pulled above — no per-keyframe pulls
+        loop_kfs = set(np.nonzero(W[cand] >= 15)[0].tolist()) | {cand}
         loop_mask = np.zeros(store.pt_cap, bool)
         for g in loop_kfs:
-            o = np.asarray(store.kf_obs[g])
+            o = kf_obs_np[g]
             loop_mask[o[o >= 0]] = True
         loop_ids_np = np.nonzero(loop_mask)[0]
         # sized to the arena so no loop point is silently dropped (the
@@ -753,24 +758,38 @@ class LoopCloser:
                                 R0[kf_id], t0[kf_id], s0[kf_id])
         mR.append(r); mt.append(t_); ms.append(s_)
 
+        # pad the host-tracked loop edges to a power-of-two bucket: the
+        # raw count grows by one per loop closure, and every distinct
+        # edge-array length is a fresh pose-graph compile (~20 s on the
+        # tunnel); buckets keep the compiled-shape set logarithmic
         M = len(edges_i)
+        Mpad = 1 << max(3, (M - 1).bit_length())
+        pad_n = Mpad - M
+        ei_h = np.zeros(Mpad, np.int32)
+        ej_h = np.zeros(Mpad, np.int32)
+        ei_h[:M] = edges_i
+        ej_h[:M] = edges_j
+        mR_h = np.tile(np.eye(3, dtype=np.float32), (Mpad, 1, 1))
+        mR_h[:M] = np.stack(mR).astype(np.float32)
+        mt_h = np.zeros((Mpad, 3), np.float32)
+        mt_h[:M] = np.stack(mt).astype(np.float32)
+        ms_h = np.ones(Mpad, np.float32)
+        ms_h[:M] = np.array(ms, np.float32)
+        on_h = np.zeros(Mpad, bool)
+        on_h[:M] = True
+
         fixed = np.zeros(K, bool)
         fixed[cand] = True           # loop KF fixed (src/Optimizer.cc:820)
         fixed[~kf_valid] = True
 
         prob = pose_graph.PoseGraphProblem(
             R=jnp.asarray(R0), t=jnp.asarray(t0), s=jnp.asarray(s0),
-            edge_i=jnp.concatenate(
-                [ei, jnp.asarray(np.array(edges_i, np.int32))]),
-            edge_j=jnp.concatenate(
-                [ej, jnp.asarray(np.array(edges_j, np.int32))]),
-            meas_R=jnp.concatenate(
-                [mRd, jnp.asarray(np.stack(mR).astype(np.float32))]),
-            meas_t=jnp.concatenate(
-                [mtd, jnp.asarray(np.stack(mt).astype(np.float32))]),
-            meas_s=jnp.concatenate(
-                [msd, jnp.asarray(np.array(ms, np.float32))]),
-            edge_valid=jnp.concatenate([on, jnp.ones(M, bool)]),
+            edge_i=jnp.concatenate([ei, jnp.asarray(ei_h)]),
+            edge_j=jnp.concatenate([ej, jnp.asarray(ej_h)]),
+            meas_R=jnp.concatenate([mRd, jnp.asarray(mR_h)]),
+            meas_t=jnp.concatenate([mtd, jnp.asarray(mt_h)]),
+            meas_s=jnp.concatenate([msd, jnp.asarray(ms_h)]),
+            edge_valid=jnp.concatenate([on, jnp.asarray(on_h)]),
             fixed=jnp.asarray(fixed),
         )
         out = pose_graph.optimize_pose_graph(prob, iters=20,
