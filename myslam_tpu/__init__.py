@@ -44,7 +44,14 @@ if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
 # compile on the tunnel-attached TPU; with the cache they compile once
 # per machine, not once per process. Opt out with
 # MYSLAM_NO_COMPILE_CACHE=1 (e.g. to measure cold-start).
+# NOT on the CPU backend: serializing multi-device (shard_map) CPU
+# executables aborts the process inside
+# jax.compilation_cache.put_executable_and_time (observed killing the
+# test suite at test_multi_session), and CPU compiles are cheap anyway.
+_platforms = str(_jax.config.jax_platforms
+                 or _os.environ.get("JAX_PLATFORMS", ""))
 if (not _os.environ.get("MYSLAM_NO_COMPILE_CACHE")
+        and "cpu" not in _platforms
         and _jax.config.jax_compilation_cache_dir is None):
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
