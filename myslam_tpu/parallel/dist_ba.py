@@ -130,71 +130,72 @@ def _pad_points(prob: BAProblem, O: int, n_dev: int):
 _LM_CACHE = {}
 
 
-def _make_dist_lm(cam, mesh, axis, O: int, iters: int, use_huber: bool,
+def _make_dist_lm(cam, mesh, axis, O: int, use_huber: bool,
                   stereo: bool, bf: float):
-    """Build (and cache) the jitted all-iterations LM program for one
-    (camera, mesh, shape) configuration."""
+    """Build (and cache) the jitted ONE-iteration LM step + cost program
+    for one (camera, mesh, shape) configuration.
+
+    One iteration per dispatch, looped on the host — deliberately NOT a
+    lax.scan over all iterations: the scan-of-collectives megaprogram
+    segfaulted the XLA:CPU compiler when built late in a long-lived
+    process (reproducible at suite position, fine in isolation), and BA
+    runs rarely enough that per-iteration dispatch cost is immaterial.
+    """
     key = (tuple(float(np.asarray(v)) for v in
                  (cam.fx, cam.fy, cam.cx, cam.cy)),
-           id(mesh), axis, O, iters, use_huber, stereo, float(bf))
+           id(mesh), axis, O, use_huber, stereo, float(bf))
     if key in _LM_CACHE:
         return _LM_CACHE[key]
 
-    def body(kf_pose, pt_xyz, kf_fixed, e_kf, e_uv, e_is2, e_val, e_ur):
-        Pl = pt_xyz.shape[0]              # landmarks on THIS shard
-        edge_pt = jnp.repeat(jnp.arange(Pl, dtype=jnp.int32), O)
-
-        def mk_prob(kp, px):
-            return BAProblem(
-                kf_pose=kp, pt_xyz=px, edge_kf=e_kf, edge_pt=edge_pt,
-                edge_uv=e_uv, edge_inv_sigma2=e_is2, edge_valid=e_val,
-                kf_fixed=kf_fixed, edge_ur=e_ur, bf=bf)
-
-        def cost(kp, px):
-            c = ba_mod._robust_cost(cam, mk_prob(kp, px), use_huber,
-                                    o_group=O)
-            return jax.lax.psum(c, axis)
-
-        def step(carry, _):
-            kp, px, lam, cost_c = carry
-            parts, local = ba_mod._structured_schur_parts(
-                cam, mk_prob(kp, px), lam, use_huber, O)
-            # the ONLY cross-shard communication of the iteration
-            parts = jax.tree.map(lambda x: jax.lax.psum(x, axis), parts)
-            dpose = ba_mod._structured_schur_solve(parts, kf_fixed, lam)
-            dpt = ba_mod._structured_backsub(local, dpose)
-            new_kp = se3.retract(kp, dpose)
-            new_kp = jnp.where(kf_fixed[:, None, None], kp, new_kp)
-            new_px = px + dpt
-            cost_n = cost(new_kp, new_px)
-            improved = cost_n < cost_c
-            kp2 = jnp.where(improved, new_kp, kp)
-            px2 = jnp.where(improved, new_px, px)
-            lam2 = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0),
-                            1e-10, 1e8)
-            return (kp2, px2, lam2,
-                    jnp.where(improved, cost_n, cost_c)), None
-
-        cost0 = cost(kf_pose, pt_xyz)
-        (kp, px, _, _), _ = jax.lax.scan(
-            step, (kf_pose, pt_xyz, jnp.float32(1e-4), cost0), None,
-            length=iters)
-        return kp, px
-
     e_spec = P(axis)
-    in_specs = (P(), P(axis), P(), e_spec, e_spec, e_spec, e_spec)
-    in_specs = in_specs + ((e_spec,) if stereo else (P(),))
+    in_specs_edges = (e_spec, e_spec, e_spec, e_spec)
+    in_specs_edges = in_specs_edges + ((e_spec,) if stereo else (P(),))
 
-    def body_wrap(kf_pose, pt_xyz, kf_fixed, e_kf, e_uv, e_is2, e_val,
-                  e_ur_in):
-        return body(kf_pose, pt_xyz, kf_fixed, e_kf, e_uv, e_is2, e_val,
-                    e_ur_in if stereo else None)
+    def mk_prob(kp, px, kf_fixed, e_kf, e_uv, e_is2, e_val, e_ur):
+        Pl = px.shape[0]                  # landmarks on THIS shard
+        edge_pt = jnp.repeat(jnp.arange(Pl, dtype=jnp.int32), O)
+        return BAProblem(
+            kf_pose=kp, pt_xyz=px, edge_kf=e_kf, edge_pt=edge_pt,
+            edge_uv=e_uv, edge_inv_sigma2=e_is2, edge_valid=e_val,
+            kf_fixed=kf_fixed, edge_ur=e_ur if stereo else None, bf=bf)
 
-    fn = jax.jit(jax.shard_map(
-        body_wrap, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(), P(axis))))
-    _LM_CACHE[key] = fn
-    return fn
+    def cost_body(kp, px, kf_fixed, e_kf, e_uv, e_is2, e_val, e_ur):
+        c = ba_mod._robust_cost(
+            cam, mk_prob(kp, px, kf_fixed, e_kf, e_uv, e_is2, e_val,
+                         e_ur), use_huber, o_group=O)
+        return jax.lax.psum(c, axis)
+
+    def step_body(kp, px, lam, cost_c, kf_fixed, e_kf, e_uv, e_is2,
+                  e_val, e_ur):
+        prob_s = mk_prob(kp, px, kf_fixed, e_kf, e_uv, e_is2, e_val,
+                         e_ur)
+        parts, local = ba_mod._structured_schur_parts(
+            cam, prob_s, lam, use_huber, O)
+        # the ONLY cross-shard communication of the iteration
+        parts = jax.tree.map(lambda x: jax.lax.psum(x, axis), parts)
+        dpose = ba_mod._structured_schur_solve(parts, kf_fixed, lam)
+        dpt = ba_mod._structured_backsub(local, dpose)
+        new_kp = se3.retract(kp, dpose)
+        new_kp = jnp.where(kf_fixed[:, None, None], kp, new_kp)
+        new_px = px + dpt
+        cost_n = cost_body(new_kp, new_px, kf_fixed, e_kf, e_uv, e_is2,
+                           e_val, e_ur)
+        improved = cost_n < cost_c
+        kp2 = jnp.where(improved, new_kp, kp)
+        px2 = jnp.where(improved, new_px, px)
+        lam2 = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0),
+                        1e-10, 1e8)
+        return kp2, px2, lam2, jnp.where(improved, cost_n, cost_c)
+
+    cost_fn = jax.jit(jax.shard_map(
+        cost_body, mesh=mesh,
+        in_specs=(P(), P(axis), P()) + in_specs_edges, out_specs=P()))
+    step_fn = jax.jit(jax.shard_map(
+        step_body, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P()) + in_specs_edges,
+        out_specs=(P(), P(axis), P(), P())))
+    _LM_CACHE[key] = (cost_fn, step_fn)
+    return cost_fn, step_fn
 
 
 def distributed_bundle_adjust(cam: Camera, prob: BAProblem, mesh: Mesh,
@@ -221,12 +222,17 @@ def distributed_bundle_adjust(cam: Camera, prob: BAProblem, mesh: Mesh,
     stereo = sprob.edge_ur is not None
     e_ur = (sprob.edge_ur if stereo
             else jnp.zeros((n_dev,), jnp.float32))
-    lm = _make_dist_lm(cam, mesh, axis, O, int(iters), bool(use_huber),
-                       stereo, float(sprob.bf))
-    kf_pose, pt_xyz = lm(
-        sprob.kf_pose, sprob.pt_xyz, sprob.kf_fixed,
-        sprob.edge_kf, sprob.edge_uv, sprob.edge_inv_sigma2,
-        sprob.edge_valid, e_ur)
+    cost_fn, step_fn = _make_dist_lm(cam, mesh, axis, O,
+                                     bool(use_huber), stereo,
+                                     float(sprob.bf))
+    edges = (sprob.edge_kf, sprob.edge_uv, sprob.edge_inv_sigma2,
+             sprob.edge_valid, e_ur)
+    kf_pose, pt_xyz = sprob.kf_pose, sprob.pt_xyz
+    lam = jnp.float32(1e-4)
+    cost_c = cost_fn(kf_pose, pt_xyz, sprob.kf_fixed, *edges)
+    for _ in range(int(iters)):
+        kf_pose, pt_xyz, lam, cost_c = step_fn(
+            kf_pose, pt_xyz, lam, cost_c, sprob.kf_fixed, *edges)
     # Snap rotations back onto SO(3) — matches optim/ba.py: downstream
     # tracking's motion model doubles any non-orthogonal component per
     # frame (see geom/se3.renormalize).
